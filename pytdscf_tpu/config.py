@@ -1,0 +1,59 @@
+"""Immutable run configuration.
+
+Replaces the reference's mutable module-global singleton
+(``/root/reference/pytdscf/_const_cls.py``) with an explicit, frozen dataclass
+threaded through the engine.  All thresholds keep the reference defaults so
+numerical regression literals match.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Run-type configuration, passed explicitly (never a global).
+
+    Attributes mirror the semantics of ``const.set_runtype`` in the reference
+    (``_const_cls.py:102-252``) but are immutable.
+    """
+
+    jobname: str = "job"
+    #: "none" = real-time propagation; "imaginary" = imaginary-time relaxation;
+    #: "improved" = improved (diagonalisation) relaxation.
+    relax: Literal["none", "imaginary", "improved"] = "none"
+    #: Apply an operator variationally instead of propagating.
+    apply_dipole: bool = False
+    #: Krylov exponential integrator for the local updates.
+    integrator: Literal["lanczos", "arnoldi"] = "lanczos"
+    #: SIL convergence threshold (reference ``thresh_exp``; ``thresh_sil`` kwarg).
+    thresh_exp: float = 1.0e-09
+    #: Maximum Krylov subspace dimension.
+    max_krylov: int = 20
+    #: Hilbert-space (MPS) or Liouville-space (MPDO) dynamics.
+    space: Literal["hilbert", "liouville"] = "hilbert"
+    #: Renormalise after each local exponential (valid for Hermitian H).
+    conserve_norm: bool = True
+    #: Adaptive bond dimension (a1TDVP).
+    adaptive: bool = False
+    adaptive_Dmax: int = 20
+    adaptive_dD: int = 5
+    adaptive_p_proj: float = 1.0e-04
+    adaptive_p_svd: float = 1.0e-07
+    #: SVD regularisation floor for gauge moves (reference ``epsrho``).
+    epsrho: float = 1.0e-08
+    #: Display unit for exported time axes.
+    display_time_unit: Literal["fs", "ps", "au"] = "fs"
+    #: Extra numerical self-checks (canonicality asserts etc.).
+    pytest_enabled: bool = False
+    #: Computation dtype for the tensor network.
+    dtype: str = "complex128"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def is_relax(self) -> bool:
+        return self.relax != "none"

@@ -1,0 +1,191 @@
+"""On-device Krylov propagators.
+
+Short-iterative Lanczos / Arnoldi for ``exp(scale·H_eff)ψ`` implemented as
+``lax.while_loop`` programs over a fixed-size Krylov buffer, so an entire
+site update compiles to ONE XLA computation.  This removes the reference's
+host↔device round trips per Krylov iteration and its CPU-resident Hessenberg
+eigensolve (``/root/reference/pytdscf/_integrator.py:360-365,453-655``).
+
+Semantics parity with the reference SIL:
+* convergence when ‖ψ_next(k) − ψ_next(k−1)‖ < thresh, on Krylov breakdown
+  (β≈0 ⇒ invariant subspace ⇒ exact), or at the max Krylov dimension;
+* ``conserve_norm=True`` renormalises the result, otherwise the initial norm
+  is factored out and restored (reference ``_normalize``/``_rescale``).
+
+The padded-matrix trick: at iteration k only the leading (k+1)×(k+1) block
+of the K×K reduced matrix is populated; the remainder is exactly zero, so the
+matrix is block-diagonal and ``expm(scale·T)·e₀`` lives entirely in the active
+block — no dynamic shapes needed.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import expm
+
+EPS = 1.0e-14
+
+
+def krylov_expm(
+    matvec: Callable[[jax.Array], jax.Array],
+    v_init: jax.Array,
+    scale: jax.Array | complex,
+    thresh: float,
+    max_dim: int = 20,
+    conserve_norm: bool = True,
+    arnoldi: bool = False,
+) -> jax.Array:
+    """Approximate ``exp(scale·H)·v_init`` in a Krylov subspace (traceable)."""
+    n = v_init.shape[0]
+    k_max = min(max_dim, n)
+    dtype = v_init.dtype
+    beta0 = jnp.linalg.norm(v_init)
+    v0 = v_init / beta0
+
+    if arnoldi:
+        psi_next = _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype)
+    else:
+        psi_next = _lanczos_loop(matvec, v0, scale, thresh, k_max, n, dtype)
+
+    if conserve_norm:
+        return psi_next / jnp.linalg.norm(psi_next)
+    return psi_next * beta0
+
+
+def _lanczos_loop(matvec, v0, scale, thresh, k_max, n, dtype):
+    """SIL with the reference's recurrence (``_integrator.py:538-568``).
+
+    Note the reduced-matrix diagonal is ``α_k = ⟨v₀|H·v_k⟩`` (projection onto
+    the *initial* vector, not ``v_k``).  This is an oblique-projection
+    variant, but it is exact by construction: ``β_k v_{k+1} ≝ H v_k − α_k v_k
+    − β_{k−1} v_{k−1}`` makes ``H·Vᵀ = Vᵀ·T`` hold identically in the
+    generated (normalised, non-orthogonal) basis, so ``expm(scale·T)e₀``
+    reproduces the Krylov power series exactly.  We keep this convention —
+    rather than Rayleigh–Ritz ``α_k = ⟨v_k|H v_k⟩`` — because every
+    regression literal of the reference embeds its stopping behaviour
+    (matching it reproduces reference RDMs to ~1e-10 instead of ~1e-8).
+    """
+    V = jnp.zeros((k_max + 1, n), dtype=dtype).at[0].set(v0)
+    v0_conj = v0.conj()
+    alpha = jnp.zeros((k_max,), dtype=dtype)
+    beta = jnp.zeros((k_max,), dtype=jnp.float64)
+    psi0 = jnp.zeros((n,), dtype=dtype)
+    idx_d = jnp.arange(k_max)
+    idx_o = jnp.arange(k_max - 1)
+
+    def cond(carry):
+        _, _, _, k, _, done = carry
+        return ~done
+
+    def body(carry):
+        V, alpha, beta, k, psi_prev, _ = carry
+        w = matvec(V[k])
+        a = jnp.sum(v0_conj * w)
+        beta_prev = jnp.where(k > 0, beta[k - 1], 0.0)
+        w = w - a * V[k] - beta_prev.astype(dtype) * V[k - 1]
+        b = jnp.linalg.norm(w).real
+        V = V.at[k + 1].set(jnp.where(b > EPS, 1.0, 0.0) * w / jnp.where(b > EPS, b, 1.0))
+        alpha = alpha.at[k].set(a)
+        beta = beta.at[k].set(b)
+        # Active-block tridiagonal, padded with exact zeros.  The reference
+        # takes Re(α) in its Hermitian path (``_integrator.py:590-592``).
+        d_mask = (idx_d <= k).astype(dtype)
+        o_mask = (idx_o < k).astype(jnp.float64)
+        off = (beta[:-1] * o_mask).astype(dtype)
+        diag = alpha.real.astype(dtype) * d_mask
+        T = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
+        c = expm(scale * T)[:, 0]
+        psi_next = c @ V[:k_max]
+        err = jnp.linalg.norm(psi_next - psi_prev)
+        done = ((k > 0) & (err < thresh)) | (b < EPS) | (k + 1 >= k_max)
+        return V, alpha, beta, k + 1, psi_next, done
+
+    carry = (V, alpha, beta, jnp.asarray(0), psi0, jnp.asarray(False))
+    *_, psi_next, _ = jax.lax.while_loop(cond, body, carry)
+    return psi_next
+
+
+def _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype):
+    V = jnp.zeros((k_max + 1, n), dtype=dtype).at[0].set(v0)
+    H = jnp.zeros((k_max + 1, k_max), dtype=dtype)
+    psi0 = jnp.zeros((n,), dtype=dtype)
+    row = jnp.arange(k_max)[:, None]
+    col = jnp.arange(k_max)[None, :]
+
+    def cond(carry):
+        _, _, k, _, done = carry
+        return ~done
+
+    def body(carry):
+        V, H, k, psi_prev, _ = carry
+        w = matvec(V[k])
+        # Full Gram–Schmidt (inactive rows are zero — harmless projections).
+        h = jnp.einsum("in,n->i", V.conj(), w)
+        w = w - h @ V
+        b = jnp.linalg.norm(w).real
+        V = V.at[k + 1].set(jnp.where(b > EPS, 1.0, 0.0) * w / jnp.where(b > EPS, b, 1.0))
+        H = H.at[:, k].set(h)
+        H = H.at[k + 1, k].set(b.astype(dtype))
+        # Active upper-left (k+1)×(k+1) block only.
+        mask = ((row <= k) & (col <= k)).astype(dtype)
+        T = H[:k_max, :k_max] * mask
+        c = expm(scale * T)[:, 0]
+        psi_next = c @ V[:k_max]
+        err = jnp.linalg.norm(psi_next - psi_prev)
+        done = ((k > 0) & (err < thresh)) | (b < EPS) | (k + 1 >= k_max)
+        return V, H, k + 1, psi_next, done
+
+    carry = (V, H, jnp.asarray(0), psi0, jnp.asarray(False))
+    *_, psi_next, _ = jax.lax.while_loop(cond, body, carry)
+    return psi_next
+
+
+def lanczos_ground_state(
+    matvec: Callable[[jax.Array], jax.Array],
+    v_init: jax.Array,
+    block_dim: int = 24,
+) -> jax.Array:
+    """One restarted-Lanczos pass: Ritz vector of the lowest eigenvalue.
+
+    Used by improved relaxation (reference
+    ``matrix_diagonalize_lanczos``, ``_integrator.py:74-138``); the caller
+    restarts until the Ritz value stops moving.  Traceable.
+    """
+    n = v_init.shape[0]
+    k_max = min(block_dim, n)
+    dtype = v_init.dtype
+    v0 = v_init / jnp.linalg.norm(v_init)
+    V = jnp.zeros((k_max + 1, n), dtype=dtype).at[0].set(v0)
+    alpha = jnp.zeros((k_max,), dtype=jnp.float64)
+    beta = jnp.zeros((k_max,), dtype=jnp.float64)
+
+    def cond(carry):
+        _, _, _, k, done = carry
+        return ~done
+
+    def body(carry):
+        V, alpha, beta, k, _ = carry
+        w = matvec(V[k])
+        a = jnp.vdot(V[k], w).real
+        beta_prev = jnp.where(k > 0, beta[k - 1], 0.0)
+        w = w - a.astype(dtype) * V[k] - beta_prev.astype(dtype) * V[k - 1]
+        b = jnp.linalg.norm(w).real
+        V = V.at[k + 1].set(jnp.where(b > EPS, 1.0, 0.0) * w / jnp.where(b > EPS, b, 1.0))
+        alpha = alpha.at[k].set(a)
+        beta = beta.at[k].set(b)
+        done = (b < EPS) | (k + 1 >= k_max)
+        return V, alpha, beta, k + 1, done
+
+    carry = (V, alpha, beta, jnp.asarray(0), jnp.asarray(False))
+    V, alpha, beta, k_fin, _ = jax.lax.while_loop(cond, body, carry)
+    # Mask the inactive tail far above any physical eigenvalue.
+    idx = jnp.arange(k_max)
+    alpha_m = jnp.where(idx < k_fin, alpha, 1.0e10)
+    off = jnp.where(idx[:-1] < k_fin - 1, beta[:-1], 0.0)
+    T = jnp.diag(alpha_m) + jnp.diag(off, 1) + jnp.diag(off, -1)
+    evals, evecs = jnp.linalg.eigh(T)
+    ground = evecs[:, 0].astype(dtype) @ V[:k_max]
+    return ground / jnp.linalg.norm(ground)

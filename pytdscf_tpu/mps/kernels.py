@@ -1,0 +1,113 @@
+"""Jitted tensor kernels for the MPS/TDVP engine.
+
+Every hot contraction of the reference's 27-case einsum dispatch
+(``/root/reference/pytdscf/_contraction.py:1038-1176``) collapses to three
+dense einsums here because operators are pre-fused into full-chain MPOs
+(see ``operators/mpo_algebra``):
+
+* ``heff_apply``  — ⟨L|W|R⟩ effective Hamiltonian on a site tensor,
+* ``keff_apply``  — ⟨L|R⟩ effective operator on a bond matrix,
+* ``renorm_block_left/right`` — environment-block transfer.
+
+Index conventions: site tensor ``psi[l, n, r]``; MPO core ``W[a, i, j, b]``
+(i = bra, j = ket); left block ``L[b_bra, a, b_ket]``; right block
+``R[b_bra, a, b_ket]`` indexed by the bonds facing the block.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def qr_right(psi: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Psi(l, n, r) → A(l, n, k), σ(k, r) with A left-orthogonal."""
+    l, n, r = psi.shape
+    q, rmat = jnp.linalg.qr(psi.reshape(l * n, r))
+    return q.reshape(l, n, -1), rmat
+
+
+@jax.jit
+def lq_left(psi: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Psi(l, n, r) → σ(l, k), B(k, n, r) with B right-orthogonal."""
+    l, n, r = psi.shape
+    q, rmat = jnp.linalg.qr(psi.transpose(2, 1, 0).reshape(r * n, l))
+    return rmat.T, q.reshape(r, n, -1).transpose(2, 1, 0)
+
+
+@jax.jit
+def heff_apply(
+    L: jax.Array, W: jax.Array, R: jax.Array, psi: jax.Array
+) -> jax.Array:
+    """σ[b, i, x] = Σ L[b,a,k] · W[a,i,j,c] · R[x,c,r] · ψ[k,j,r]."""
+    return jnp.einsum("bak,aijc,xcr,kjr->bix", L, W, R, psi, optimize=True)
+
+
+@jax.jit
+def keff_apply(L: jax.Array, R: jax.Array, sig: jax.Array) -> jax.Array:
+    """σ'[b, x] = Σ L[b,a,k] · R[x,a,r] · σ[k,r]."""
+    return jnp.einsum("bak,xar,kr->bx", L, R, sig, optimize=True)
+
+
+@jax.jit
+def renorm_block_left(
+    L: jax.Array, a_bra: jax.Array, W: jax.Array, a_ket: jax.Array
+) -> jax.Array:
+    """L'[o, c, p] = Σ A*_bra[b,i,o] · W[a,i,j,c] · A_ket[k,j,p] · L[b,a,k]."""
+    return jnp.einsum(
+        "bak,bio,aijc,kjp->ocp", L, a_bra.conj(), W, a_ket, optimize=True
+    )
+
+
+@jax.jit
+def renorm_block_right(
+    R: jax.Array, b_bra: jax.Array, W: jax.Array, b_ket: jax.Array
+) -> jax.Array:
+    """R'[o, c, p] = Σ B*_bra[o,i,b] · W[c,i,j,a] · B_ket[p,j,k] · R[b,a,k]."""
+    return jnp.einsum(
+        "bak,oib,cija,pjk->ocp", R, b_bra.conj(), W, b_ket, optimize=True
+    )
+
+
+@jax.jit
+def absorb_right(sig: jax.Array, b_core: jax.Array) -> jax.Array:
+    """Psi(p+1) = σ · B(p+1):   (k, r) × (r, n, s) → (k, n, s)."""
+    return jnp.einsum("kr,rns->kns", sig, b_core)
+
+
+@jax.jit
+def absorb_left(a_core: jax.Array, sig: jax.Array) -> jax.Array:
+    """Psi(p−1) = A(p−1) · σ:   (l, n, s) × (s, k) → (l, n, k)."""
+    return jnp.einsum("lns,sk->lnk", a_core, sig)
+
+
+# --------------------------------------------------------------- overlaps
+@jax.jit
+def ovlp_left_conj(S: jax.Array, bra: jax.Array, ket: jax.Array) -> jax.Array:
+    """S'[o, p] = Σ bra*[b,n,o] · ket[k,n,p] · S[b,k]."""
+    return jnp.einsum("bk,bno,knp->op", S, bra.conj(), ket, optimize=True)
+
+
+@jax.jit
+def ovlp_left_noconj(S: jax.Array, bra: jax.Array, ket: jax.Array) -> jax.Array:
+    """Unconjugated transfer (T/2-trick autocorrelation)."""
+    return jnp.einsum("bk,bno,knp->op", S, bra, ket, optimize=True)
+
+
+def stack_states(states) -> jax.Array:
+    """Concatenate raveled per-state tensors into one Krylov vector."""
+    return jnp.concatenate([s.ravel() for s in states])
+
+
+def split_states(vec: jax.Array, shapes) -> list[jax.Array]:
+    """Inverse of :func:`stack_states` for static ``shapes``."""
+    out = []
+    ofs = 0
+    for sh in shapes:
+        n = 1
+        for d in sh:
+            n *= d
+        out.append(jax.lax.dynamic_slice_in_dim(vec, ofs, n).reshape(sh))
+        ofs += n
+    return out

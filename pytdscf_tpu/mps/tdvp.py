@@ -1,0 +1,536 @@
+"""Projector-splitting 1-site TDVP sweep engine (the hot path).
+
+One full time step = forward half-sweep (dt/2) + backward half-sweep (dt/2),
+per site: exp(−i·dt/2·H_eff) on the site tensor, QR gauge move, backward
+exp(+i·dt/2·K_eff) on the bond matrix, absorb into the neighbour
+(reference algorithm: ``/root/reference/pytdscf/_mps_cls.py:798-1170``).
+
+TPU-first design decisions:
+* the ENTIRE per-site update — Krylov exponential of H_eff, QR, environment
+  renormalisation, Krylov exponential of K_eff and neighbour absorption —
+  compiles into a single jitted XLA computation (one dispatch per site);
+* the Hamiltonian is one fused dense MPO per electronic-state pair, so the
+  effective operators are plain (L, W, R) einsum chains on the MXU;
+* environment blocks from each half-sweep are reused as the next half-sweep's
+  environments (the reference's ``op_sys_sites`` caching).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytdscf_tpu.config import Config
+from pytdscf_tpu.mps import kernels as K
+from pytdscf_tpu.mps.integrator import krylov_expm, lanczos_ground_state
+
+Pair = tuple[int, int]
+
+
+# ---------------------------------------------------------------- matvecs
+def _make_hmatvec(pairs, Ls, Ws, Rs, shapes, nstate, dtype):
+    def mv(vec):
+        psis = K.split_states(vec, shapes)
+        sigs = [jnp.zeros(sh, dtype) for sh in shapes]
+        for (i, j), L, W, R in zip(pairs, Ls, Ws, Rs):
+            sigs[i] = sigs[i] + K.heff_apply(L, W, R, psis[j])
+        return K.stack_states(sigs)
+
+    return mv
+
+
+def _make_kmatvec(pairs, Ls, Rs, shapes, nstate, dtype):
+    def mv(vec):
+        sig_in = K.split_states(vec, shapes)
+        sig_out = [jnp.zeros(sh, dtype) for sh in shapes]
+        for (i, j), L, R in zip(pairs, Ls, Rs):
+            sig_out[i] = sig_out[i] + K.keff_apply(L, R, sig_in[j])
+        return K.stack_states(sig_out)
+
+    return mv
+
+
+def _ground_state_multi(mv, v0):
+    """Restarted Lanczos to the lowest eigenvector (improved relaxation)."""
+
+    def cond(carry):
+        _, e_prev, e, it = carry
+        return (jnp.abs(e - e_prev) > 1.0e-12) & (it < 100)
+
+    def body(carry):
+        v, _, e, it = carry
+        v = lanczos_ground_state(mv, v)
+        e_new = jnp.vdot(v, mv(v)).real
+        return v, e, e_new, it + 1
+
+    v0 = v0 / jnp.linalg.norm(v0)
+    v1 = lanczos_ground_state(mv, v0)
+    e1 = jnp.vdot(v1, mv(v1)).real
+    v, *_ = jax.lax.while_loop(
+        cond, body, (v1, jnp.asarray(jnp.inf, jnp.float64), e1, jnp.asarray(1))
+    )
+    return v
+
+
+# ------------------------------------------------------------- site steps
+@partial(
+    jax.jit,
+    static_argnames=(
+        "pairs",
+        "nstate",
+        "mode",
+        "conserve_norm",
+        "arnoldi",
+        "max_dim",
+        "last",
+        "forward",
+    ),
+)
+def _site_step(
+    psis,
+    next_cores,
+    Ls,
+    Ws,
+    Rs,
+    scale,
+    thresh,
+    *,
+    pairs: tuple[Pair, ...],
+    nstate: int,
+    mode: str,
+    conserve_norm: bool,
+    arnoldi: bool,
+    max_dim: int,
+    last: bool,
+    forward: bool,
+):
+    """One fused TDVP site update.  Returns (site_out, psi_next, blocks_new).
+
+    ``psis``/``next_cores``: tuples over electronic states.
+    ``Ls``/``Ws``/``Rs``: tuples over ``pairs`` — left block, MPO core at this
+    site, right block.  For the *backward* direction Ls/Rs swap roles
+    (Ls = blocks on the A side being consumed, Rs = growing env).
+    """
+    dtype = psis[0].dtype
+    shapes = tuple(p.shape for p in psis)
+    hmv = _make_hmatvec(pairs, Ls, Ws, Rs, shapes, nstate, dtype)
+    vec = K.stack_states(psis)
+    if mode == "improved":
+        vec_new = _ground_state_multi(hmv, vec)
+    else:
+        vec_new = krylov_expm(
+            hmv,
+            vec,
+            scale,
+            thresh,
+            max_dim=max_dim,
+            conserve_norm=conserve_norm or mode == "imag",
+            arnoldi=arnoldi,
+        )
+    psis_new = tuple(K.split_states(vec_new, shapes))
+    if last:
+        return psis_new, None, None
+
+    if forward:
+        qr_out = [K.qr_right(p) for p in psis_new]
+        sites_out = tuple(q for q, _ in qr_out)
+        svals = tuple(s for _, s in qr_out)
+        blocks_new = tuple(
+            K.renorm_block_left(L, sites_out[i], W, sites_out[j])
+            for (i, j), L, W in zip(pairs, Ls, Ws)
+        )
+        env_blocks = Rs
+    else:
+        qr_out = [K.lq_left(p) for p in psis_new]
+        svals = tuple(s for s, _ in qr_out)
+        sites_out = tuple(b for _, b in qr_out)
+        blocks_new = tuple(
+            K.renorm_block_right(R, sites_out[i], W, sites_out[j])
+            for (i, j), R, W in zip(pairs, Rs, Ws)
+        )
+        env_blocks = Ls
+
+    if mode == "improved":
+        svals_new = svals
+    else:
+        sshapes = tuple(s.shape for s in svals)
+        if forward:
+            kmv = _make_kmatvec(pairs, blocks_new, env_blocks, sshapes, nstate, dtype)
+        else:
+            kmv = _make_kmatvec(pairs, env_blocks, blocks_new, sshapes, nstate, dtype)
+        svec = krylov_expm(
+            kmv,
+            K.stack_states(svals),
+            -scale,
+            thresh,
+            max_dim=max_dim,
+            conserve_norm=conserve_norm or mode == "imag",
+            arnoldi=arnoldi,
+        )
+        svals_new = tuple(K.split_states(svec, sshapes))
+
+    if forward:
+        psi_next = tuple(
+            K.absorb_right(s, nc) for s, nc in zip(svals_new, next_cores)
+        )
+    else:
+        psi_next = tuple(
+            K.absorb_left(nc, s) for s, nc in zip(svals_new, next_cores)
+        )
+    return sites_out, psi_next, blocks_new
+
+
+@partial(jax.jit, static_argnames=("pairs", "forward"))
+def _renorm_blocks(blocks, bras, Ws, kets, *, pairs, forward):
+    """Environment-block transfer for all state pairs at one site."""
+    if forward:
+        return tuple(
+            K.renorm_block_left(B, bras[i], W, kets[j])
+            for (i, j), B, W in zip(pairs, blocks, Ws)
+        )
+    return tuple(
+        K.renorm_block_right(B, bras[i], W, kets[j])
+        for (i, j), B, W in zip(pairs, blocks, Ws)
+    )
+
+
+# ------------------------------------------------------------------ engine
+class TDVPEngine:
+    """Holds the MPS cores, fused MPO and cached environments; sweeps."""
+
+    def __init__(
+        self,
+        cores: list[list[np.ndarray]],
+        hamiltonian,
+        config: Config,
+    ):
+        self.config = config
+        self.dtype = jnp.dtype(config.dtype)
+        self.nstate = len(cores)
+        self.nsite = len(cores[0])
+        self.cores: list[list[jax.Array]] = [
+            [jnp.asarray(c, dtype=self.dtype) for c in state] for state in cores
+        ]
+        self.hamiltonian = hamiltonian
+        phys_dims = [int(c.shape[1]) for c in cores[0]]
+        self.phys_dims = phys_dims
+        fused = hamiltonian.fused_mpo(phys_dims)
+        self.pairs: tuple[Pair, ...] = tuple(
+            (i, j)
+            for i in range(self.nstate)
+            for j in range(self.nstate)
+            if fused[i][j] is not None
+        )
+        self.W = {
+            pair: tuple(
+                jnp.asarray(c, dtype=self.dtype) for c in fused[pair[0]][pair[1]]
+            )
+            for pair in self.pairs
+        }
+        #: env stack: blocks accumulated by the previous half-sweep; popping
+        #: yields the environment for the next site (reference op_sys_sites).
+        self.env_stack: list[tuple[jax.Array, ...]] | None = None
+
+    # ---------------------------------------------------------- helpers
+    def _trivial_block(self) -> tuple[jax.Array, ...]:
+        return tuple(
+            jnp.ones((1, 1, 1), dtype=self.dtype) for _ in self.pairs
+        )
+
+    def _site_W(self, p: int) -> tuple[jax.Array, ...]:
+        return tuple(self.W[pair][p] for pair in self.pairs)
+
+    def _psis(self, p: int) -> tuple[jax.Array, ...]:
+        return tuple(self.cores[i][p] for i in range(self.nstate))
+
+    def build_right_env_stack(self) -> list[tuple[jax.Array, ...]]:
+        """[trivial, R(N−1..), …, R(1..)] — pop order matches a → sweep."""
+        stack = [self._trivial_block()]
+        for p in range(self.nsite - 1, 0, -1):
+            sites = self._psis(p)
+            stack.append(
+                _renorm_blocks(
+                    stack[-1], sites, self._site_W(p), sites,
+                    pairs=self.pairs, forward=False,
+                )
+            )
+        return stack
+
+    def build_left_env_stack(self) -> list[tuple[jax.Array, ...]]:
+        stack = [self._trivial_block()]
+        for p in range(0, self.nsite - 1):
+            sites = self._psis(p)
+            stack.append(
+                _renorm_blocks(
+                    stack[-1], sites, self._site_W(p), sites,
+                    pairs=self.pairs, forward=True,
+                )
+            )
+        return stack
+
+    # ------------------------------------------------------------ sweeps
+    def _half_sweep(self, scale, forward: bool, mode: str) -> None:
+        cfg = self.config
+        if self.env_stack is None:
+            self.env_stack = (
+                self.build_right_env_stack()
+                if forward
+                else self.build_left_env_stack()
+            )
+        env_stack = self.env_stack
+        sys_stack = [self._trivial_block()]
+        order = (
+            range(self.nsite)
+            if forward
+            else range(self.nsite - 1, -1, -1)
+        )
+        sys_blocks = sys_stack[0]
+        for p in order:
+            env_blocks = env_stack.pop()
+            last = p == (self.nsite - 1 if forward else 0)
+            nxt = None if last else self._psis(p + 1 if forward else p - 1)
+            Ls = sys_blocks if forward else env_blocks
+            Rs = env_blocks if forward else sys_blocks
+            sites_out, psi_next, blocks_new = _site_step(
+                self._psis(p),
+                nxt,
+                Ls,
+                self._site_W(p),
+                Rs,
+                scale,
+                cfg.thresh_exp,
+                pairs=self.pairs,
+                nstate=self.nstate,
+                mode=mode,
+                conserve_norm=cfg.conserve_norm,
+                arnoldi=cfg.integrator == "arnoldi",
+                max_dim=cfg.max_krylov,
+                last=last,
+                forward=forward,
+            )
+            for i in range(self.nstate):
+                self.cores[i][p] = sites_out[i]
+            if not last:
+                q = p + 1 if forward else p - 1
+                for i in range(self.nstate):
+                    self.cores[i][q] = psi_next[i]
+                sys_blocks = blocks_new
+                sys_stack.append(blocks_new)
+        self.env_stack = sys_stack
+
+    def propagate(self, dt: float) -> None:
+        """One TDVP step: forward + backward half-sweeps of dt/2 each."""
+        mode = {"none": "prop", "imaginary": "imag", "improved": "improved"}[
+            self.config.relax
+        ]
+        if mode == "prop":
+            scale = jnp.asarray(-0.5j * dt, dtype=self.dtype)
+        else:
+            scale = jnp.asarray(-0.5 * dt, dtype=self.dtype)
+        self._half_sweep(scale, forward=True, mode=mode)
+        self._half_sweep(scale, forward=False, mode=mode)
+
+    # ------------------------------------------------------- observables
+    def expectation(self, operator=None) -> complex:
+        """⟨Ψ|O|Ψ⟩ with Psi canonical at site 0 (reference semantics)."""
+        if operator is None or operator is self.hamiltonian:
+            pairs, W = self.pairs, self.W
+        else:
+            fused = operator.fused_mpo(self.phys_dims)
+            pairs = tuple(
+                (i, j)
+                for i in range(operator.nstate)
+                for j in range(operator.nstate)
+                if fused[i][j] is not None
+            )
+            W = {
+                pair: tuple(
+                    jnp.asarray(c, dtype=self.dtype)
+                    for c in fused[pair[0]][pair[1]]
+                )
+                for pair in pairs
+            }
+        # Right environments over sites N-1..1 for this operator.
+        blocks = tuple(jnp.ones((1, 1, 1), dtype=self.dtype) for _ in pairs)
+        for p in range(self.nsite - 1, 0, -1):
+            sites = self._psis(p)
+            blocks = tuple(
+                K.renorm_block_right(B, sites[pair[0]], W[pair][p], sites[pair[1]])
+                for pair, B in zip(pairs, blocks)
+            )
+        triv = jnp.ones((1, 1, 1), dtype=self.dtype)
+        val = 0.0 + 0.0j
+        for pair, R in zip(pairs, blocks):
+            i, j = pair
+            sig = K.heff_apply(triv, W[pair][0], R, self.cores[j][0])
+            val += complex(jnp.vdot(self.cores[i][0], sig))
+        return val
+
+    def autocorr(self) -> complex:
+        """T/2-trick autocorrelation ⟨Ψ*|Ψ⟩ (no conjugation)."""
+        total = 0.0 + 0.0j
+        for i in range(self.nstate):
+            S = jnp.ones((1, 1), dtype=self.dtype)
+            for p in range(self.nsite):
+                S = K.ovlp_left_noconj(S, self.cores[i][p], self.cores[i][p])
+            total += complex(S[0, 0])
+        return total
+
+    def pop_states(self) -> list[float]:
+        return [
+            float(jnp.linalg.norm(self.cores[i][0]) ** 2)
+            for i in range(self.nstate)
+        ]
+
+    def norm(self) -> float:
+        return float(np.sqrt(sum(self.pop_states())))
+
+    def bond_dims(self, istate: int = 0) -> list[int]:
+        return [int(c.shape[2]) for c in self.cores[istate][:-1]]
+
+    def reduced_density(
+        self, remain_nleg: tuple[int, ...], istate: int = 0
+    ) -> np.ndarray:
+        """ρ over kept sites; Tr over the rest.  Psi must sit at site 0.
+
+        ``remain_nleg[p]`` ∈ {0,1,2}: 0 trace out, 1 keep diagonal,
+        2 keep bra+ket.  Sites right of ``len(remain_nleg)−1`` are
+        right-orthogonal ⇒ identity environment (reference
+        ``_mps_cls.py:1208-1287``).  Output legs ordered site-major,
+        ket before bra.
+        """
+        cores = [self.cores[istate][p] for p in range(len(remain_nleg))]
+        core = cores.pop()
+        nleg = remain_nleg[-1]
+        if nleg == 1:
+            dens = jnp.einsum("ijk,ajk->iaj", core, core.conj())
+        elif nleg == 2:
+            dens = jnp.einsum("ijk,alk->iajl", core, core.conj())
+        else:
+            raise ValueError("right-most kept site must have ≥1 open leg")
+        p = len(remain_nleg) - 1
+        while cores:
+            p -= 1
+            core = cores.pop()
+            nleg = remain_nleg[p]
+            if nleg == 2:
+                sub = "lmi,bna,ia...->lbmn..."
+            elif nleg == 1:
+                sub = "lmi,bma,ia...->lbm..."
+            else:
+                sub = "lmi,bma,ia...->lb..."
+            dens = jnp.einsum(sub, core, core.conj(), dens)
+        return np.asarray(dens[0, 0, ...])
+
+    # ------------------------------------------------- operator fitting
+    def overlap_conj(self, other_cores: list[list[jax.Array]]) -> complex:
+        """⟨self|other⟩ summed over states."""
+        total = 0.0 + 0.0j
+        for i in range(self.nstate):
+            S = jnp.ones((1, 1), dtype=self.dtype)
+            for p in range(self.nsite):
+                S = K.ovlp_left_conj(S, self.cores[i][p], other_cores[i][p])
+            total += complex(S[0, 0])
+        return total
+
+    def apply_operator_fit(
+        self, operator, maxiter: int = 10, conv_tol: float = 1.0e-08
+    ) -> float:
+        """Variationally fit |Φ⟩ ≈ O|Ψ⟩ by alternating sweeps.
+
+        The current MPS becomes the (normalised) fit; the norm ‖O|Ψ⟩‖ in the
+        fitted subspace is returned (reference
+        ``wavefunction.apply_dipole`` / ``apply_dipole_along_sweep``,
+        ``/root/reference/pytdscf/_mps_cls.py:718-796,2733-2778``).
+        """
+        fused = operator.fused_mpo(self.phys_dims)
+        pairs = tuple(
+            (i, j)
+            for i in range(operator.nstate)
+            for j in range(operator.nstate)
+            if fused[i][j] is not None
+        )
+        W = {
+            pair: tuple(
+                jnp.asarray(c, dtype=self.dtype) for c in fused[pair[0]][pair[1]]
+            )
+            for pair in pairs
+        }
+        ket = [[c for c in state] for state in self.cores]  # Ψ0 (gauge-moved)
+        norm = 0.0
+        for _ in range(maxiter):
+            prev = [[c for c in state] for state in self.cores]
+            norm = self._fit_half_sweep(pairs, W, ket, forward=True)
+            norm = self._fit_half_sweep(pairs, W, ket, forward=False)
+            ovlp = self.overlap_conj(prev)
+            if abs(1.0 - abs(ovlp)) < conv_tol:
+                break
+        self.invalidate_env()
+        return norm
+
+    def _fit_half_sweep(self, pairs, W, ket, forward: bool) -> float:
+        nsite = self.nsite
+        # Environment blocks ⟨Φ|O|Ψ0⟩ built in the opposite direction.
+        env_stack = [tuple(jnp.ones((1, 1, 1), dtype=self.dtype) for _ in pairs)]
+        env_rng = range(nsite - 1, 0, -1) if forward else range(0, nsite - 1)
+        for p in env_rng:
+            bras = tuple(self.cores[i][p] for i in range(self.nstate))
+            kets = tuple(ket[i][p] for i in range(self.nstate))
+            Ws = tuple(W[pair][p] for pair in pairs)
+            env_stack.append(
+                _renorm_blocks(
+                    env_stack[-1], bras, Ws, kets, pairs=pairs, forward=not forward
+                )
+            )
+        sys_blocks = tuple(jnp.ones((1, 1, 1), dtype=self.dtype) for _ in pairs)
+        order = range(nsite) if forward else range(nsite - 1, -1, -1)
+        norm = 0.0
+        for p in order:
+            env_blocks = env_stack.pop()
+            Ls = sys_blocks if forward else env_blocks
+            Rs = env_blocks if forward else sys_blocks
+            new = [None] * self.nstate
+            for i in range(self.nstate):
+                acc = jnp.zeros_like(self.cores[i][p])
+                for pair, L, R in zip(pairs, Ls, Rs):
+                    if pair[0] != i:
+                        continue
+                    acc = acc + K.heff_apply(L, W[pair][p], R, ket[pair[1]][p])
+                new[i] = acc
+            norm = float(
+                np.sqrt(sum(float(jnp.linalg.norm(x)) ** 2 for x in new))
+            )
+            for i in range(self.nstate):
+                self.cores[i][p] = new[i] / norm
+            last = p == (nsite - 1 if forward else 0)
+            if last:
+                break
+            # Gauge-move both Φ and Ψ0 toward the sweep direction.
+            q = p + 1 if forward else p - 1
+            bras, kets = [], []
+            for chain in (self.cores, ket):
+                for i in range(self.nstate):
+                    if forward:
+                        a, s = K.qr_right(chain[i][p])
+                        chain[i][p] = a
+                        chain[i][q] = K.absorb_right(s, chain[i][q])
+                    else:
+                        s, b = K.lq_left(chain[i][p])
+                        chain[i][p] = b
+                        chain[i][q] = K.absorb_left(chain[i][q], s)
+            bras = tuple(self.cores[i][p] for i in range(self.nstate))
+            kets = tuple(ket[i][p] for i in range(self.nstate))
+            Ws = tuple(W[pair][p] for pair in pairs)
+            sys_blocks = _renorm_blocks(
+                sys_blocks, bras, Ws, kets, pairs=pairs, forward=forward
+            )
+        return norm
+
+    def invalidate_env(self) -> None:
+        self.env_stack = None
+
+    def to_numpy(self) -> list[list[np.ndarray]]:
+        return [[np.asarray(c) for c in state] for state in self.cores]

@@ -1,0 +1,187 @@
+"""Host-side MPO algebra: extension, direct sum, compression.
+
+This is the TPU build's "MPO schedule compiler".  The reference keeps every
+Hamiltonian term as a separately-keyed core list with implicit identities and
+complementary "summed" blocks resolved per contraction
+(``/root/reference/pytdscf/_mpo_cls.py:116-163``,
+``/root/reference/pytdscf/_mps_mpo.py:421-696``).  Here everything is fused
+*once*, at operator-construction time, into a single dense full-chain MPO per
+state pair — identity skipping becomes plain bond-1 identity cores, and the
+"summed" complementary-block optimisation becomes ordinary MPO compression.
+The runtime contraction then needs exactly one (L, W, R) einsum chain that
+maps straight onto the MXU.
+
+All functions here run on host numpy (operator construction is tiny and
+happens once); the fused cores are shipped to the device as constants.
+
+Core convention: ``W[a, i, j, b]`` with ``a``/``b`` the left/right MPO bonds,
+``i`` the bra (output) and ``j`` the ket (input) physical index.
+Diagonal (grid) cores may be given as ``(a, n, b)`` and are densified.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+Cores = list[np.ndarray]
+
+
+def as_dense_core(core: np.ndarray) -> np.ndarray:
+    """Densify a 3-rank diagonal core (a, n, b) → (a, n, n, b)."""
+    if core.ndim == 4:
+        return np.asarray(core, dtype=np.complex128)
+    if core.ndim == 3:
+        a, n, b = core.shape
+        dense = np.zeros((a, n, n, b), dtype=np.complex128)
+        idx = np.arange(n)
+        dense[:, idx, idx, :] = core
+        return dense
+    raise ValueError(f"core must be 3- or 4-rank, got shape {core.shape}")
+
+
+def identity_core(n: int, bond: int = 1) -> np.ndarray:
+    """Identity core δ_aa' ⊗ δ_ij of physical dim n and bond dim ``bond``."""
+    core = np.zeros((bond, n, n, bond), dtype=np.complex128)
+    eye_n = np.eye(n)
+    for a in range(bond):
+        core[a, :, :, a] = eye_n
+    return core
+
+
+def extend_to_full_chain(
+    site_cores: dict[int, np.ndarray], nsite: int, phys_dims: list[int]
+) -> Cores:
+    """Insert identity cores so an MPO term covers sites 0..nsite−1.
+
+    Outside the term's [min, max] site span the identities have bond 1;
+    inside a gap they carry the running bond dimension through.
+    """
+    lo = min(site_cores)
+    hi = max(site_cores)
+    full: Cores = []
+    bond = 1
+    for s in range(nsite):
+        if s in site_cores:
+            core = as_dense_core(site_cores[s])
+            if core.shape[0] != bond:
+                raise ValueError(
+                    f"bond mismatch at site {s}: expected {bond}, got {core.shape[0]}"
+                )
+            if core.shape[1] != phys_dims[s]:
+                raise ValueError(
+                    f"phys-dim mismatch at site {s}: expected {phys_dims[s]}, "
+                    f"got {core.shape[1]}"
+                )
+            full.append(core)
+            bond = core.shape[-1]
+        elif lo < s < hi:
+            full.append(identity_core(phys_dims[s], bond))
+        else:
+            full.append(identity_core(phys_dims[s], 1))
+    return full
+
+
+def mpo_scale(cores: Cores, scalar: complex) -> Cores:
+    out = [np.asarray(c, dtype=np.complex128) for c in cores]
+    out[0] = out[0] * scalar
+    return out
+
+
+def scalar_mpo(scalar: complex, phys_dims: list[int]) -> Cores:
+    """scalar × identity as a bond-1 MPO over the whole chain."""
+    cores = [identity_core(n, 1) for n in phys_dims]
+    return mpo_scale(cores, scalar)
+
+
+def mpo_direct_sum(a_cores: Cores, b_cores: Cores) -> Cores:
+    """MPO representing A + B by bond-wise direct sum (edges concatenate)."""
+    if len(a_cores) != len(b_cores):
+        raise ValueError("MPO length mismatch")
+    nsite = len(a_cores)
+    if nsite == 1:
+        return [a_cores[0] + b_cores[0]]
+    out: Cores = []
+    for s, (ca, cb) in enumerate(zip(a_cores, b_cores, strict=True)):
+        al, n, n2, ar = ca.shape
+        bl, m, m2, br = cb.shape
+        if (n, n2) != (m, m2):
+            raise ValueError(f"phys-dim mismatch at site {s}")
+        if s == 0:
+            new = np.concatenate([ca, cb], axis=-1)
+        elif s == nsite - 1:
+            new = np.concatenate([ca, cb], axis=0)
+        else:
+            new = np.zeros((al + bl, n, n2, ar + br), dtype=np.complex128)
+            new[:al, :, :, :ar] = ca
+            new[al:, :, :, ar:] = cb
+        out.append(new)
+    return out
+
+
+def mpo_compress(
+    cores: Cores, cutoff: float = 1.0e-13, max_bond: int | None = None
+) -> Cores:
+    """Two-sweep (QR →, SVD ←) MPO compression with relative SVD cutoff.
+
+    ``cutoff`` is relative to the largest singular value per bond; the default
+    only removes numerically-exact linear dependence, preserving the operator
+    to ~1e-13 which keeps 1e-9-level regression literals intact.
+    """
+    cores = [np.asarray(c, dtype=np.complex128) for c in cores]
+    nsite = len(cores)
+    if nsite == 1:
+        return cores
+    # Left→right QR canonicalisation.
+    for s in range(nsite - 1):
+        a, n, n2, b = cores[s].shape
+        mat = cores[s].reshape(a * n * n2, b)
+        q, r = np.linalg.qr(mat)
+        k = q.shape[1]
+        cores[s] = q.reshape(a, n, n2, k)
+        cores[s + 1] = np.tensordot(r, cores[s + 1], axes=(1, 0))
+    # Right→left SVD truncation.
+    for s in range(nsite - 1, 0, -1):
+        a, n, n2, b = cores[s].shape
+        mat = cores[s].reshape(a, n * n2 * b)
+        u, sig, vh = np.linalg.svd(mat, full_matrices=False)
+        if sig.size and sig[0] > 0.0:
+            keep = int(np.sum(sig > cutoff * sig[0]))
+        else:
+            keep = 1
+        keep = max(keep, 1)
+        if max_bond is not None:
+            keep = min(keep, max_bond)
+        cores[s] = vh[:keep].reshape(keep, n, n2, b)
+        cores[s - 1] = np.tensordot(
+            cores[s - 1], u[:, :keep] * sig[:keep], axes=(3, 0)
+        )
+    return cores
+
+
+def mpo_sum(all_cores: list[Cores], cutoff: float = 1.0e-13) -> Cores:
+    """Sum many MPOs pairwise (balanced tree), compressing at each level."""
+    if not all_cores:
+        raise ValueError("empty MPO sum")
+    level = list(all_cores)
+    while len(level) > 1:
+        nxt: list[Cores] = []
+        for i in range(0, len(level) - 1, 2):
+            nxt.append(mpo_compress(mpo_direct_sum(level[i], level[i + 1]), cutoff))
+        if len(level) % 2 == 1:
+            nxt.append(level[-1])
+        level = nxt
+    return mpo_compress(level[0], cutoff)
+
+
+def mpo_to_dense(cores: Cores) -> np.ndarray:
+    """Contract an MPO to the dense operator matrix (testing only)."""
+    full = cores[0]  # (1, i0, j0, b)
+    for core in cores[1:]:
+        full = np.einsum("aijb,bklc->aikjlc", full, core)
+        a, i0, k0, j0, l0, c = full.shape
+        full = full.reshape(a, i0 * k0, j0 * l0, c)
+    return full[0, :, :, 0]
+
+
+def mpo_bond_dims(cores: Cores) -> list[int]:
+    return [c.shape[0] for c in cores] + [cores[-1].shape[-1]]

@@ -1,0 +1,197 @@
+"""Per-step property evaluation and export.
+
+Mirrors the reference ``Properties`` engine
+(``/root/reference/pytdscf/properties.py``): autocorrelation via the T/2
+trick, energy, norm, populations, arbitrary observables, reduced densities;
+exports ``autocorr.dat`` / ``populations.dat`` / ``expectations.dat`` in the
+same text format.  Reduced densities go to an HDF5 file (h5py) with the same
+variable naming (``rho_{key}_{istate}``) as the reference's netCDF export.
+"""
+
+from __future__ import annotations
+
+import os
+
+import h5py
+import numpy as np
+
+from pytdscf_tpu import units
+from pytdscf_tpu.config import Config
+
+
+def remain_nleg_from_key(key: tuple[int, ...]) -> tuple[int, ...]:
+    """RDM key (sites, repeats=keep both legs) → per-site open-leg counts.
+
+    e.g. (3, 3) → (0, 0, 0, 2); (0, 1) → (1, 1).
+    """
+    pts = sorted(key, reverse=True)
+    legs = [0] * (pts[0] + 1)
+    isite = 0
+    while pts:
+        if isite == pts[-1]:
+            legs[isite] += 1
+            pts.pop()
+        else:
+            isite += 1
+    if any(not 0 <= leg <= 2 for leg in legs):
+        raise ValueError(f"invalid reduced-density key {key}")
+    return tuple(legs)
+
+
+class Properties:
+    """Evaluates and exports observables each step."""
+
+    def __init__(
+        self,
+        engine,
+        model,
+        config: Config,
+        time: float = 0.0,
+        t2_trick: bool = True,
+        reduced_density=None,
+    ):
+        self.engine = engine
+        self.model = model
+        self.config = config
+        self.time = time
+        self.nstep = 0
+        self.t2_trick = t2_trick
+        self.autocorr: complex | None = None
+        self.energy: float | None = None
+        self.norm: float | None = None
+        self.pops: list[float] | None = None
+        self.expectations: dict[str, complex] = {}
+        self.jobdir = config.jobname
+        os.makedirs(self.jobdir, exist_ok=True)
+        self._files: dict[str, object] = {}
+
+        if reduced_density is not None:
+            self.rd_keys = list(reduced_density[0])
+            self.rd_step = reduced_density[1]
+            self.remain_legs = [remain_nleg_from_key(k) for k in self.rd_keys]
+            self.rd_path = os.path.join(self.jobdir, "reduced_density.nc")
+            if os.path.exists(self.rd_path):
+                os.remove(self.rd_path)
+            with h5py.File(self.rd_path, "w") as f:
+                f.create_dataset(
+                    "time", shape=(0,), maxshape=(None,), dtype="f8"
+                )
+        else:
+            self.rd_keys = None
+            self.rd_step = None
+            self.remain_legs = None
+
+    # ------------------------------------------------------------------
+    def get_time_display(self) -> float:
+        unit = self.config.display_time_unit
+        if unit == "au":
+            return self.time
+        if unit == "fs":
+            return self.time * units.au_in_fs
+        if unit == "ps":
+            return self.time * units.au_in_fs * 1e-3
+        raise ValueError(unit)
+
+    def get_properties(
+        self,
+        *,
+        autocorr=True,
+        energy=True,
+        norm=True,
+        populations=True,
+        observables=True,
+        autocorr_per_step=1,
+        energy_per_step=1,
+        norm_per_step=1,
+        populations_per_step=1,
+        observables_per_step=1,
+    ) -> None:
+        if autocorr and self.nstep % autocorr_per_step == 0:
+            self.autocorr = self.engine.autocorr() if self.t2_trick else None
+        if energy and self.nstep % energy_per_step == 0:
+            self.energy = self.engine.expectation(self.model.hamiltonian).real
+        if norm and self.nstep % norm_per_step == 0:
+            self.norm = self.engine.norm()
+        if populations and self.nstep % populations_per_step == 0:
+            self.pops = self.engine.pop_states()
+        if observables and self.nstep % observables_per_step == 0:
+            for name, op in self.model.observables.items():
+                self.expectations[name] = self.engine.expectation(op)
+        if self.rd_keys is not None and self.nstep % self.rd_step == 0:
+            self._export_reduced_density()
+
+    # ------------------------------------------------------------------
+    def _dat(self, name: str, header: str):
+        if name not in self._files:
+            f = open(os.path.join(self.jobdir, f"{name}.dat"), "w")
+            f.write(header + "\n")
+            self._files[name] = f
+        return self._files[name]
+
+    def export_properties(
+        self,
+        *,
+        autocorr_per_step=1,
+        populations_per_step=1,
+        observables_per_step=1,
+    ) -> None:
+        unit = self.config.display_time_unit
+        t = self.get_time_display()
+        if self.autocorr is not None and self.nstep % autocorr_per_step == 0:
+            f = self._dat("autocorr", f"# time [{unit}]\t auto-correlation")
+            td = t * 2 if self.t2_trick else t
+            a = self.autocorr
+            f.write(f"{td:6.9f}\t{a.real: 6.9f}{a.imag:+6.9f}j\n")
+            f.flush()
+        if self.pops is not None and self.nstep % populations_per_step == 0:
+            f = self._dat(
+                "populations",
+                f"# time [{unit}]\t"
+                + "\t".join(f"pop_{i}" for i in range(len(self.pops))),
+            )
+            f.write(
+                f"{t:6.9f}\t" + "\t".join(f"{p:6.9f}" for p in self.pops) + "\n"
+            )
+            f.flush()
+        if self.expectations and self.nstep % observables_per_step == 0:
+            f = self._dat(
+                "expectations",
+                f"# time [{unit}]\t"
+                + "\t".join(self.expectations.keys()),
+            )
+            f.write(
+                f"{t:6.9f}\t"
+                + "\t".join(f"{v.real:6.9f}" for v in self.expectations.values())
+                + "\n"
+            )
+            f.flush()
+
+    def _export_reduced_density(self) -> None:
+        with h5py.File(self.rd_path, "a") as f:
+            tset = f["time"]
+            row = tset.shape[0]
+            tset.resize((row + 1,))
+            tset[row] = self.get_time_display()
+            for key, legs in zip(self.rd_keys, self.remain_legs):
+                istate = 0
+                rho = self.engine.reduced_density(legs, istate=istate)
+                name = f"rho_{key}_{istate}"
+                if name not in f:
+                    f.create_dataset(
+                        name,
+                        shape=(0,) + rho.shape,
+                        maxshape=(None,) + rho.shape,
+                        dtype="complex128",
+                    )
+                dset = f[name]
+                dset.resize((row + 1,) + rho.shape)
+                dset[row] = rho
+
+    def update(self, dt_au: float) -> None:
+        self.time += dt_au
+        self.nstep += 1
+
+    def close(self) -> None:
+        for f in self._files.values():
+            f.close()
+        self._files.clear()

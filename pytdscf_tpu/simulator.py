@@ -1,0 +1,338 @@
+"""Simulator: the user-facing driver (relax / operate / propagate).
+
+API parity: ``/root/reference/pytdscf/simulator_cls.py`` — same entry-point
+signatures, time units (fs), jobname conventions (``{jobname}_prop`` etc.),
+wavefunction backup files and return values ``(energy|norm, wavefunction)``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import pickle
+from typing import Any, Literal
+
+import numpy as np
+
+from pytdscf_tpu import units
+from pytdscf_tpu._logging import get_logger
+from pytdscf_tpu.config import Config
+from pytdscf_tpu.model import Model
+from pytdscf_tpu.mps.lattice import alloc_hartree_product
+from pytdscf_tpu.mps.tdvp import TDVPEngine
+from pytdscf_tpu.properties import Properties
+
+
+class WaveFunction:
+    """Thin user-facing wrapper around the TDVP engine state."""
+
+    def __init__(self, engine: TDVPEngine, model: Model):
+        self.engine = engine
+        self.model = model
+
+    def expectation(self, op=None) -> float:
+        return self.engine.expectation(op).real
+
+    def autocorr(self) -> complex:
+        return self.engine.autocorr()
+
+    def norm(self) -> float:
+        return self.engine.norm()
+
+    def pop_states(self) -> list[float]:
+        return self.engine.pop_states()
+
+    def bonddim(self) -> list[int]:
+        return self.engine.bond_dims()
+
+    def get_reduced_densities(self, remain_nleg) -> np.ndarray:
+        return self.engine.reduced_density(remain_nleg)
+
+    @property
+    def ci_coef(self):
+        return self.engine.cores
+
+
+class Simulator:
+    """Drive MPS quantum dynamics built from a :class:`Model`."""
+
+    def __init__(
+        self,
+        jobname: str,
+        model: Model,
+        ci_type: str = "mps",
+        backend: Literal["jax", "numpy"] = "numpy",
+        proj_gs: bool = False,
+        t2_trick: bool = True,
+        verbose: int = 2,
+    ):
+        self.jobname = jobname
+        self.model = model
+        self.t2_trick = t2_trick
+        self.verbose = verbose
+        self.backend = backend  # accepted for API parity; engine is JAX-native
+        if ci_type.lower() != "mps":
+            raise NotImplementedError("only ci_type='mps' is implemented")
+        if proj_gs:
+            raise NotImplementedError("proj_gs initial states: not yet")
+
+    # ------------------------------------------------------------------
+    def propagate(
+        self,
+        stepsize: float = 0.1,
+        maxstep: int = 5000,
+        restart: bool = False,
+        savefile_ext: str = "",
+        loadfile_ext: str = "_operate",
+        backup_interval: int = 1000,
+        autocorr: bool = True,
+        energy: bool = True,
+        norm: bool = True,
+        populations: bool = True,
+        observables: bool = False,
+        reduced_density=None,
+        Δt: float | None = None,
+        thresh_sil: float = 1.0e-09,
+        autocorr_per_step: int = 1,
+        observables_per_step: int = 1,
+        energy_per_step: int = 1,
+        norm_per_step: int = 1,
+        populations_per_step: int = 1,
+        parallel_split_indices=None,
+        adaptive: bool = False,
+        adaptive_Dmax: int = 20,
+        adaptive_dD: int = 5,
+        adaptive_p_proj: float = 1.0e-04,
+        adaptive_p_svd: float = 1.0e-07,
+        integrator: Literal["lanczos", "arnoldi"] = "lanczos",
+        display_time_unit: Literal["fs", "ps", "au"] = "fs",
+        conserve_norm: bool = True,
+    ) -> tuple[Any, WaveFunction]:
+        dt_au = (Δt if Δt is not None else stepsize) / units.au_in_fs
+        config = Config(
+            jobname=self.jobname + "_prop",
+            relax="none",
+            integrator=integrator,
+            thresh_exp=thresh_sil,
+            space=self.model.space,
+            conserve_norm=conserve_norm,
+            adaptive=adaptive,
+            adaptive_Dmax=adaptive_Dmax,
+            adaptive_dD=adaptive_dD,
+            adaptive_p_proj=adaptive_p_proj,
+            adaptive_p_svd=adaptive_p_svd,
+            display_time_unit=display_time_unit,
+        )
+        return self._execute(
+            config,
+            dt_au,
+            maxstep,
+            restart=restart,
+            savefile_ext=savefile_ext,
+            loadfile_ext=loadfile_ext,
+            backup_interval=backup_interval,
+            autocorr=autocorr,
+            energy=energy,
+            norm=norm,
+            populations=populations,
+            observables=observables,
+            reduced_density=reduced_density,
+            autocorr_per_step=autocorr_per_step,
+            observables_per_step=observables_per_step,
+            energy_per_step=energy_per_step,
+            norm_per_step=norm_per_step,
+            populations_per_step=populations_per_step,
+        )
+
+    def relax(
+        self,
+        stepsize: float = 0.1,
+        maxstep: int = 20,
+        improved: bool = True,
+        restart: bool = False,
+        savefile_ext: str = "_gs",
+        loadfile_ext: str = "",
+        backup_interval: int = 10,
+        norm: bool = True,
+        populations: bool = True,
+        observables: bool = False,
+        integrator: Literal["lanczos", "arnoldi"] = "lanczos",
+        display_time_unit: Literal["fs", "ps", "au"] = "fs",
+    ) -> tuple[Any, WaveFunction]:
+        dt_au = stepsize / units.au_in_fs
+        config = Config(
+            jobname=self.jobname + "_relax",
+            relax="improved" if improved else "imaginary",
+            integrator=integrator,
+            space=self.model.space,
+            display_time_unit=display_time_unit,
+        )
+        return self._execute(
+            config,
+            dt_au,
+            maxstep,
+            restart=restart,
+            savefile_ext=savefile_ext,
+            loadfile_ext=loadfile_ext,
+            backup_interval=backup_interval,
+            autocorr=False,
+            energy=True,
+            norm=norm,
+            populations=populations,
+            observables=observables,
+        )
+
+    def operate(
+        self,
+        maxstep: int = 10,
+        restart: bool = False,
+        savefile_ext: str = "_operate",
+        loadfile_ext: str = "_gs",
+        verbose: int = 2,
+    ) -> tuple[float, WaveFunction]:
+        config = Config(
+            jobname=self.jobname + "_operate",
+            apply_dipole=True,
+            space=self.model.space,
+        )
+        logger = get_logger(config.jobname, verbose)
+        engine = self._initial_engine(config, restart, loadfile_ext)
+        logger.info("Start: apply operator to wave function")
+        norm = engine.apply_operator_fit(self.model.hamiltonian, maxiter=maxstep)
+        wf = WaveFunction(engine, self.model)
+        self._save(engine, config.jobname, savefile_ext)
+        logger.info("End  : apply operator to wave function")
+        return norm, wf
+
+    # ------------------------------------------------------------------
+    def _initial_engine(
+        self, config: Config, restart: bool, loadfile_ext: str
+    ) -> TDVPEngine:
+        if restart:
+            path = f"wf_{self.jobname}{loadfile_ext}.pkl"
+            with open(path, "rb") as f:
+                payload = pickle.load(f)
+            cores = payload["cores"]
+        else:
+            cores = self._alloc_initial_cores()
+        return TDVPEngine(cores, self.model.hamiltonian, config)
+
+    def _alloc_initial_cores(self) -> list[list[np.ndarray]]:
+        model = self.model
+        nstate = model.get_nstate()
+        ndof = model.get_ndof()
+        m_max = model.m_aux_max or 1
+        if model.init_weight_ESTATE is not None:
+            w = np.asarray(model.init_weight_ESTATE, dtype=float)
+            weights = (w / w.sum()).tolist()
+        else:
+            weights = [1.0] + [0.0] * (nstate - 1)
+        cores = []
+        for istate in range(nstate):
+            phys_dims = [
+                model.basinfo.get_nprim(istate, d) for d in range(ndof)
+            ]
+            if model.init_HartreeProduct is not None:
+                vecs = [
+                    np.asarray(v, dtype=complex)
+                    for v in model.init_HartreeProduct[istate]
+                ]
+            else:
+                vecs = []
+                for d in range(ndof):
+                    prim = model.get_primbas(istate, d)
+                    if model.init_weight_VIBSTATE is not None:
+                        vec = np.asarray(
+                            model.init_weight_VIBSTATE[istate][d], dtype=complex
+                        )
+                    else:
+                        vec = np.zeros(phys_dims[d], dtype=complex)
+                        vec[0] = 1.0
+                    # HO FBR weight vectors rotate into the DVR grid basis
+                    # (reference: _mps_mpo.py:96-110 rotates only HO bases).
+                    from pytdscf_tpu.basis.ho import HarmonicOscillator
+
+                    if isinstance(prim, HarmonicOscillator):
+                        vec = vec @ prim.get_unitary()
+                    vecs.append(vec)
+            cores.append(
+                alloc_hartree_product(
+                    phys_dims,
+                    m_max,
+                    vecs,
+                    weight=weights[istate],
+                    space=model.space,
+                )
+            )
+        return cores
+
+    def _save(self, engine: TDVPEngine, jobname: str, ext: str) -> None:
+        path = f"wf_{self.jobname}{ext}.pkl"
+        with open(path, "wb") as f:
+            pickle.dump({"cores": engine.to_numpy()}, f)
+
+    def _execute(
+        self,
+        config: Config,
+        dt_au: float,
+        maxstep: int,
+        *,
+        restart: bool,
+        savefile_ext: str,
+        loadfile_ext: str,
+        backup_interval: int,
+        autocorr: bool,
+        energy: bool,
+        norm: bool,
+        populations: bool,
+        observables: bool,
+        reduced_density=None,
+        autocorr_per_step: int = 1,
+        observables_per_step: int = 1,
+        energy_per_step: int = 1,
+        norm_per_step: int = 1,
+        populations_per_step: int = 1,
+    ) -> tuple[Any, WaveFunction]:
+        logger = get_logger(config.jobname, self.verbose)
+        engine = self._initial_engine(config, restart, loadfile_ext)
+        props = Properties(
+            engine,
+            self.model,
+            config,
+            t2_trick=self.t2_trick,
+            reduced_density=reduced_density,
+        )
+        self._save(engine, config.jobname, savefile_ext)
+        logger.info(f"Start initial step  0.000 [{config.display_time_unit}]")
+        for istep in range(maxstep):
+            props.get_properties(
+                autocorr=autocorr,
+                energy=energy,
+                norm=norm,
+                populations=populations,
+                observables=observables,
+                autocorr_per_step=autocorr_per_step,
+                energy_per_step=energy_per_step,
+                norm_per_step=norm_per_step,
+                populations_per_step=populations_per_step,
+                observables_per_step=observables_per_step,
+            )
+            props.export_properties(
+                autocorr_per_step=autocorr_per_step,
+                populations_per_step=populations_per_step,
+                observables_per_step=observables_per_step,
+            )
+            if istep % backup_interval == backup_interval - 1:
+                self._save(engine, config.jobname, savefile_ext)
+            engine.propagate(dt_au)
+            props.update(dt_au)
+            if istep % 100 == 1 and self.verbose > 1:
+                logger.info(
+                    f"End {istep - 1:5d} step; propagated "
+                    f"{props.get_time_display():8.3f} "
+                    f"[{config.display_time_unit}]"
+                )
+        logger.info("End simulation and save wavefunction")
+        self._save(engine, config.jobname, savefile_ext)
+        props.close()
+        return props.energy, WaveFunction(engine, self.model)

@@ -1,0 +1,23 @@
+"""Test configuration: force CPU with a virtual 8-device mesh, enable x64.
+
+Mirrors the reference's CI strategy of testing distributed behaviour on a
+single host (SURVEY.md §4): multi-chip sharding is exercised on virtual CPU
+devices via ``xla_force_host_platform_device_count``.
+
+Note: the environment may pre-import JAX (sitecustomize registering a TPU
+backend) before this file runs, so ``os.environ['JAX_PLATFORMS']`` would be
+ignored — we must go through ``jax.config`` instead, before first backend use.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,67 @@
+"""Unit tests: gauge moves preserve the state and yield canonical tensors.
+
+Mirrors the assertion style of the reference ``tests/test_gauge.py``.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pytdscf_tpu.mps import kernels as K
+from pytdscf_tpu.mps.lattice import alloc_hartree_product, right_canonicalize
+
+
+def _contract_all(cores):
+    full = np.asarray(cores[0])
+    for c in cores[1:]:
+        full = np.einsum("...a,anb->...nb", full, np.asarray(c))
+    return full.squeeze()
+
+
+def test_qr_right_canonical_and_invariant():
+    rng = np.random.default_rng(0)
+    psi = jnp.asarray(rng.normal(size=(3, 4, 2)) + 1j * rng.normal(size=(3, 4, 2)))
+    a, s = K.qr_right(psi)
+    # A is left-orthogonal: Σ_{l,n} A*(l,n,r) A(l,n,r') = δ.
+    gram = jnp.einsum("lnr,lns->rs", a.conj(), a)
+    np.testing.assert_allclose(np.asarray(gram), np.eye(a.shape[2]), atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("lnk,kr->lnr", a, s)), np.asarray(psi), atol=1e-13
+    )
+
+
+def test_lq_left_canonical_and_invariant():
+    rng = np.random.default_rng(1)
+    psi = jnp.asarray(rng.normal(size=(2, 4, 3)) + 1j * rng.normal(size=(2, 4, 3)))
+    s, b = K.lq_left(psi)
+    gram = jnp.einsum("lnr,knr->lk", b.conj(), b)
+    np.testing.assert_allclose(np.asarray(gram), np.eye(b.shape[0]), atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("lk,knr->lnr", s, b)), np.asarray(psi), atol=1e-13
+    )
+
+
+def test_right_canonicalize_preserves_state():
+    rng = np.random.default_rng(2)
+    cores = [
+        rng.normal(size=(1, 3, 2)) + 1j * rng.normal(size=(1, 3, 2)),
+        rng.normal(size=(2, 3, 2)) + 1j * rng.normal(size=(2, 3, 2)),
+        rng.normal(size=(2, 3, 1)) + 1j * rng.normal(size=(2, 3, 1)),
+    ]
+    before = _contract_all(cores)
+    after_cores = right_canonicalize(cores)
+    after = _contract_all(after_cores)
+    np.testing.assert_allclose(after, before, atol=1e-12)
+
+
+def test_hartree_product_alloc_is_exact_product_state():
+    vecs = [np.array([1.0, 2.0, 0.5]), np.array([0.0, 1.0]), np.array([1.0, 1.0, 1.0, 1.0])]
+    cores = alloc_hartree_product([3, 2, 4], m_max=2, hartree_vecs=vecs)
+    full = _contract_all(cores)
+    expect = np.einsum(
+        "i,j,k->ijk",
+        vecs[0] / np.linalg.norm(vecs[0]),
+        vecs[1] / np.linalg.norm(vecs[1]),
+        vecs[2] / np.linalg.norm(vecs[2]),
+    )
+    np.testing.assert_allclose(full, expect, atol=1e-13)
+    assert abs(np.linalg.norm(full.ravel()) - 1.0) < 1e-13
