@@ -1,0 +1,104 @@
+"""Benchmark: TDVP sec/step on the 184-site singlet-fission chain.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference propagates the equivalent 184-site model at
+~3.23 s/step on CPU (1 MPI rank, adaptive D<=30) — BASELINE.md.  Here the
+model runs at fixed bond dimension D=30 (an upper bound of the reference's
+adaptive rank) on one TPU chip.  ``vs_baseline`` is the speedup factor
+(baseline sec/step divided by measured sec/step; >1 means faster).
+
+Env knobs (for smoke-testing only):
+  BENCH_NL / BENCH_NR  — boson counts left/right of the exciton site
+  BENCH_STEPS          — timed steps (default 3)
+  BENCH_BOND           — bond dimension (default 30)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_SEC_PER_STEP = 3.23
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    # The environment may pre-import JAX (sitecustomize), so JAX_PLATFORMS in
+    # os.environ can be ignored — honor it via jax.config instead.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_enable_x64", True)
+
+    import numpy as np
+
+    from pytdscf_tpu.config import Config
+    from pytdscf_tpu.models.holstein import singlet_fission_chain
+    from pytdscf_tpu.mps.lattice import alloc_hartree_product
+    from pytdscf_tpu.mps.tdvp import TDVPEngine
+    from pytdscf_tpu import units
+
+    n_left = int(os.environ.get("BENCH_NL", "61"))
+    n_right = int(os.environ.get("BENCH_NR", "122"))
+    steps = int(os.environ.get("BENCH_STEPS", "3"))
+    bond = int(os.environ.get("BENCH_BOND", "30"))
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+    dtype = "complex64" if on_tpu else "complex128"
+    log(f"bench: platform={platform} dtype={dtype} "
+        f"sites={n_left + 1 + n_right} bond={bond}")
+
+    t0 = time.time()
+    basis, ham = singlet_fission_chain(n_left=n_left, n_right=n_right)
+    nsite = len(basis)
+    phys_dims = [b.nprim for b in basis]
+    ham.fused_mpo(phys_dims)
+    log(f"bench: MPO built+fused in {time.time() - t0:.1f} s")
+
+    # Initial state: exciton level 1 occupied, bosons in vacuum.
+    vecs = []
+    for i, b in enumerate(basis):
+        v = np.zeros(b.nprim, dtype=complex)
+        v[1 if i == n_left else 0] = 1.0
+        vecs.append(v)
+    cores = [alloc_hartree_product(phys_dims, bond, vecs)]
+
+    config = Config(
+        jobname="bench",
+        thresh_exp=1.0e-06 if on_tpu else 1.0e-09,
+        dtype=dtype,
+    )
+    engine = TDVPEngine(cores, ham, config)
+    dt_au = 0.2 / units.au_in_fs
+
+    t0 = time.time()
+    engine.propagate(dt_au)
+    engine.cores[0][0].block_until_ready()
+    log(f"bench: warmup step (compile) {time.time() - t0:.1f} s")
+
+    t0 = time.time()
+    for _ in range(steps):
+        engine.propagate(dt_au)
+    engine.cores[0][0].block_until_ready()
+    sec_per_step = (time.time() - t0) / steps
+    log(f"bench: {sec_per_step:.3f} s/step over {steps} steps "
+        f"(energy={engine.expectation().real:.8f})")
+
+    print(json.dumps({
+        "metric": "singlet_fission_184site_tdvp_sec_per_step",
+        "value": round(sec_per_step, 4),
+        "unit": "s/step",
+        "vs_baseline": round(BASELINE_SEC_PER_STEP / sec_per_step, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

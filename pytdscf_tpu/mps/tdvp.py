@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pytdscf_tpu.config import Config
+from pytdscf_tpu.mps import device_io as dio
 from pytdscf_tpu.mps import kernels as K
 from pytdscf_tpu.mps.integrator import krylov_expm, lanczos_ground_state
 
@@ -212,7 +213,7 @@ class TDVPEngine:
         self.nstate = len(cores)
         self.nsite = len(cores[0])
         self.cores: list[list[jax.Array]] = [
-            [jnp.asarray(c, dtype=self.dtype) for c in state] for state in cores
+            [dio.put(c, self.dtype) for c in state] for state in cores
         ]
         self.hamiltonian = hamiltonian
         phys_dims = [int(c.shape[1]) for c in cores[0]]
@@ -226,7 +227,7 @@ class TDVPEngine:
         )
         self.W = {
             pair: tuple(
-                jnp.asarray(c, dtype=self.dtype) for c in fused[pair[0]][pair[1]]
+                dio.put(c, self.dtype) for c in fused[pair[0]][pair[1]]
             )
             for pair in self.pairs
         }
@@ -237,7 +238,7 @@ class TDVPEngine:
     # ---------------------------------------------------------- helpers
     def _trivial_block(self) -> tuple[jax.Array, ...]:
         return tuple(
-            jnp.ones((1, 1, 1), dtype=self.dtype) for _ in self.pairs
+            dio.ones((1, 1, 1), self.dtype) for _ in self.pairs
         )
 
     def _site_W(self, p: int) -> tuple[jax.Array, ...]:
@@ -327,9 +328,9 @@ class TDVPEngine:
             self.config.relax
         ]
         if mode == "prop":
-            scale = jnp.asarray(-0.5j * dt, dtype=self.dtype)
+            scale = dio.put(np.asarray(-0.5j * dt), self.dtype)
         else:
-            scale = jnp.asarray(-0.5 * dt, dtype=self.dtype)
+            scale = dio.put(np.asarray(-0.5 * dt), self.dtype)
         self._half_sweep(scale, forward=True, mode=mode)
         self._half_sweep(scale, forward=False, mode=mode)
 
@@ -348,40 +349,40 @@ class TDVPEngine:
             )
             W = {
                 pair: tuple(
-                    jnp.asarray(c, dtype=self.dtype)
+                    dio.put(c, self.dtype)
                     for c in fused[pair[0]][pair[1]]
                 )
                 for pair in pairs
             }
         # Right environments over sites N-1..1 for this operator.
-        blocks = tuple(jnp.ones((1, 1, 1), dtype=self.dtype) for _ in pairs)
+        blocks = tuple(dio.ones((1, 1, 1), self.dtype) for _ in pairs)
         for p in range(self.nsite - 1, 0, -1):
             sites = self._psis(p)
             blocks = tuple(
                 K.renorm_block_right(B, sites[pair[0]], W[pair][p], sites[pair[1]])
                 for pair, B in zip(pairs, blocks)
             )
-        triv = jnp.ones((1, 1, 1), dtype=self.dtype)
+        triv = dio.ones((1, 1, 1), self.dtype)
         val = 0.0 + 0.0j
         for pair, R in zip(pairs, blocks):
             i, j = pair
             sig = K.heff_apply(triv, W[pair][0], R, self.cores[j][0])
-            val += complex(jnp.vdot(self.cores[i][0], sig))
+            val += dio.vdot(self.cores[i][0], sig)
         return val
 
     def autocorr(self) -> complex:
         """T/2-trick autocorrelation ⟨Ψ*|Ψ⟩ (no conjugation)."""
         total = 0.0 + 0.0j
         for i in range(self.nstate):
-            S = jnp.ones((1, 1), dtype=self.dtype)
+            S = dio.ones((1, 1), self.dtype)
             for p in range(self.nsite):
                 S = K.ovlp_left_noconj(S, self.cores[i][p], self.cores[i][p])
-            total += complex(S[0, 0])
+            total += dio.fetch(S)[0, 0]
         return total
 
     def pop_states(self) -> list[float]:
         return [
-            float(jnp.linalg.norm(self.cores[i][0]) ** 2)
+            float(np.asarray(dio.norm2(self.cores[i][0])))
             for i in range(self.nstate)
         ]
 
@@ -406,9 +407,9 @@ class TDVPEngine:
         core = cores.pop()
         nleg = remain_nleg[-1]
         if nleg == 1:
-            dens = jnp.einsum("ijk,ajk->iaj", core, core.conj())
+            dens = dio.jeinsum("ijk,ajk->iaj", core, core.conj())
         elif nleg == 2:
-            dens = jnp.einsum("ijk,alk->iajl", core, core.conj())
+            dens = dio.jeinsum("ijk,alk->iajl", core, core.conj())
         else:
             raise ValueError("right-most kept site must have ≥1 open leg")
         p = len(remain_nleg) - 1
@@ -422,18 +423,18 @@ class TDVPEngine:
                 sub = "lmi,bma,ia...->lbm..."
             else:
                 sub = "lmi,bma,ia...->lb..."
-            dens = jnp.einsum(sub, core, core.conj(), dens)
-        return np.asarray(dens[0, 0, ...])
+            dens = dio.jeinsum(sub, core, core.conj(), dens)
+        return dio.fetch(dens)[0, 0, ...]
 
     # ------------------------------------------------- operator fitting
     def overlap_conj(self, other_cores: list[list[jax.Array]]) -> complex:
         """⟨self|other⟩ summed over states."""
         total = 0.0 + 0.0j
         for i in range(self.nstate):
-            S = jnp.ones((1, 1), dtype=self.dtype)
+            S = dio.ones((1, 1), self.dtype)
             for p in range(self.nsite):
                 S = K.ovlp_left_conj(S, self.cores[i][p], other_cores[i][p])
-            total += complex(S[0, 0])
+            total += dio.fetch(S)[0, 0]
         return total
 
     def apply_operator_fit(
@@ -455,7 +456,7 @@ class TDVPEngine:
         )
         W = {
             pair: tuple(
-                jnp.asarray(c, dtype=self.dtype) for c in fused[pair[0]][pair[1]]
+                dio.put(c, self.dtype) for c in fused[pair[0]][pair[1]]
             )
             for pair in pairs
         }
@@ -474,7 +475,7 @@ class TDVPEngine:
     def _fit_half_sweep(self, pairs, W, ket, forward: bool) -> float:
         nsite = self.nsite
         # Environment blocks ⟨Φ|O|Ψ0⟩ built in the opposite direction.
-        env_stack = [tuple(jnp.ones((1, 1, 1), dtype=self.dtype) for _ in pairs)]
+        env_stack = [tuple(dio.ones((1, 1, 1), self.dtype) for _ in pairs)]
         env_rng = range(nsite - 1, 0, -1) if forward else range(0, nsite - 1)
         for p in env_rng:
             bras = tuple(self.cores[i][p] for i in range(self.nstate))
@@ -485,7 +486,7 @@ class TDVPEngine:
                     env_stack[-1], bras, Ws, kets, pairs=pairs, forward=not forward
                 )
             )
-        sys_blocks = tuple(jnp.ones((1, 1, 1), dtype=self.dtype) for _ in pairs)
+        sys_blocks = tuple(dio.ones((1, 1, 1), self.dtype) for _ in pairs)
         order = range(nsite) if forward else range(nsite - 1, -1, -1)
         norm = 0.0
         for p in order:
@@ -494,14 +495,17 @@ class TDVPEngine:
             Rs = env_blocks if forward else sys_blocks
             new = [None] * self.nstate
             for i in range(self.nstate):
-                acc = jnp.zeros_like(self.cores[i][p])
+                acc = None
                 for pair, L, R in zip(pairs, Ls, Rs):
                     if pair[0] != i:
                         continue
-                    acc = acc + K.heff_apply(L, W[pair][p], R, ket[pair[1]][p])
+                    term = K.heff_apply(L, W[pair][p], R, ket[pair[1]][p])
+                    acc = term if acc is None else acc + term
+                if acc is None:
+                    acc = self.cores[i][p] * 0.0
                 new[i] = acc
             norm = float(
-                np.sqrt(sum(float(jnp.linalg.norm(x)) ** 2 for x in new))
+                np.sqrt(sum(float(np.asarray(dio.norm2(x))) for x in new))
             )
             for i in range(self.nstate):
                 self.cores[i][p] = new[i] / norm
@@ -533,4 +537,4 @@ class TDVPEngine:
         self.env_stack = None
 
     def to_numpy(self) -> list[list[np.ndarray]]:
-        return [[np.asarray(c) for c in state] for state in self.cores]
+        return [[dio.fetch(c) for c in state] for state in self.cores]
