@@ -141,6 +141,14 @@ class Model:
                 raise ValueError(f"invalid core shape {core.shape}")
         return tuple(key)
 
+    def _as_tensor_dict(self, op) -> dict:
+        """Raw core list or {legs: TensorOperator} dict → potential dict."""
+        if isinstance(op, dict):
+            return op
+        if isinstance(op, list):
+            return {self._guess_leg_keys(op): TensorOperator(mpo=op)}
+        raise TypeError(f"unsupported operator spec {type(op)}")
+
     def _wrap_operators(self, operators: dict) -> dict:
         out: dict = {}
         if "potential" in operators:
@@ -150,21 +158,19 @@ class Model:
                 raise ValueError("cannot give both 'potential' and 'hamiltonian'")
             out["hamiltonian"] = TensorHamiltonian(
                 ndof=self.get_ndof(),
-                potential={self._guess_leg_keys(pot): TensorOperator(mpo=pot)},
+                potential=self._as_tensor_dict(pot),
                 kinetic=(
-                    {self._guess_leg_keys(kin): TensorOperator(mpo=kin)}
-                    if kin is not None
-                    else None
+                    self._as_tensor_dict(kin) if kin is not None else None
                 ),
                 backend="numpy",
             )
         for name, op in operators.items():
             if isinstance(op, HamiltonianMixin):
                 out[name] = op
-            elif isinstance(op, list):
+            elif isinstance(op, (list, dict)):
                 out[name] = TensorHamiltonian(
                     ndof=self.get_ndof(),
-                    potential={self._guess_leg_keys(op): TensorOperator(mpo=op)},
+                    potential=self._as_tensor_dict(op),
                     kinetic=None,
                     backend="numpy",
                 )

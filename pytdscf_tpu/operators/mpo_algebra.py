@@ -48,6 +48,36 @@ def identity_core(n: int, bond: int = 1) -> np.ndarray:
     return core
 
 
+def identity_core_diag(n: int, bond: int = 1) -> np.ndarray:
+    """Diagonal-representation identity core: (a, n, b) with δ_ab·1."""
+    core = np.zeros((bond, n, bond), dtype=np.complex128)
+    for a in range(bond):
+        core[a, :, a] = 1.0
+    return core
+
+
+def extend_to_full_chain_diag(
+    site_cores: dict[int, np.ndarray], nsite: int, phys_dims: list[int]
+) -> Cores:
+    """Like :func:`extend_to_full_chain` but keeps 3-rank diagonal cores."""
+    lo = min(site_cores)
+    hi = max(site_cores)
+    full: Cores = []
+    bond = 1
+    for s in range(nsite):
+        if s in site_cores:
+            core = np.asarray(site_cores[s], dtype=np.complex128)
+            if core.ndim != 3:
+                raise ValueError(f"diag core must be 3-rank, got {core.shape}")
+            full.append(core)
+            bond = core.shape[-1]
+        elif lo < s < hi:
+            full.append(identity_core_diag(phys_dims[s], bond))
+        else:
+            full.append(identity_core_diag(phys_dims[s], 1))
+    return full
+
+
 def extend_to_full_chain(
     site_cores: dict[int, np.ndarray], nsite: int, phys_dims: list[int]
 ) -> Cores:
@@ -94,7 +124,11 @@ def scalar_mpo(scalar: complex, phys_dims: list[int]) -> Cores:
 
 
 def mpo_direct_sum(a_cores: Cores, b_cores: Cores) -> Cores:
-    """MPO representing A + B by bond-wise direct sum (edges concatenate)."""
+    """MPO representing A + B by bond-wise direct sum (edges concatenate).
+
+    Works for both dense (a, n, n', b) and diagonal (a, n, b) cores; the
+    middle (physical) axes must match site-wise.
+    """
     if len(a_cores) != len(b_cores):
         raise ValueError("MPO length mismatch")
     nsite = len(a_cores)
@@ -102,59 +136,72 @@ def mpo_direct_sum(a_cores: Cores, b_cores: Cores) -> Cores:
         return [a_cores[0] + b_cores[0]]
     out: Cores = []
     for s, (ca, cb) in enumerate(zip(a_cores, b_cores, strict=True)):
-        al, n, n2, ar = ca.shape
-        bl, m, m2, br = cb.shape
-        if (n, n2) != (m, m2):
+        if ca.shape[1:-1] != cb.shape[1:-1]:
             raise ValueError(f"phys-dim mismatch at site {s}")
+        al, ar = ca.shape[0], ca.shape[-1]
+        bl, br = cb.shape[0], cb.shape[-1]
+        mid = ca.shape[1:-1]
         if s == 0:
             new = np.concatenate([ca, cb], axis=-1)
         elif s == nsite - 1:
             new = np.concatenate([ca, cb], axis=0)
         else:
-            new = np.zeros((al + bl, n, n2, ar + br), dtype=np.complex128)
-            new[:al, :, :, :ar] = ca
-            new[al:, :, :, ar:] = cb
+            new = np.zeros((al + bl, *mid, ar + br), dtype=np.complex128)
+            new[:al, ..., :ar] = ca
+            new[al:, ..., ar:] = cb
         out.append(new)
     return out
 
 
 def mpo_compress(
-    cores: Cores, cutoff: float = 1.0e-13, max_bond: int | None = None
+    cores: Cores,
+    cutoff: float = 1.0e-13,
+    max_bond: int | None = None,
+    rate: float | None = None,
+    nsweep: int = 1,
 ) -> Cores:
-    """Two-sweep (QR →, SVD ←) MPO compression with relative SVD cutoff.
+    """QR→ / SVD← sweep compression of an MPO core train.
 
-    ``cutoff`` is relative to the largest singular value per bond; the default
-    only removes numerically-exact linear dependence, preserving the operator
-    to ~1e-13 which keeps 1e-9-level regression literals intact.
+    Works for dense and diagonal cores (only the first/last axes are bond
+    axes).  ``cutoff`` is relative to the largest singular value per bond;
+    ``rate`` keeps the smallest set of singular values whose squared sum
+    reaches ``rate`` of the total (the reference's contribution-rate control,
+    ``/root/reference/pytdscf/_mpo_cls.py:290-313``); ``nsweep`` repeats the
+    compression (variational sweeps converge at nsweep=1 for exact-rank
+    truncation but extra sweeps help after aggressive rate cuts).
     """
     cores = [np.asarray(c, dtype=np.complex128) for c in cores]
     nsite = len(cores)
     if nsite == 1:
         return cores
-    # Left→right QR canonicalisation.
-    for s in range(nsite - 1):
-        a, n, n2, b = cores[s].shape
-        mat = cores[s].reshape(a * n * n2, b)
-        q, r = np.linalg.qr(mat)
-        k = q.shape[1]
-        cores[s] = q.reshape(a, n, n2, k)
-        cores[s + 1] = np.tensordot(r, cores[s + 1], axes=(1, 0))
-    # Right→left SVD truncation.
-    for s in range(nsite - 1, 0, -1):
-        a, n, n2, b = cores[s].shape
-        mat = cores[s].reshape(a, n * n2 * b)
-        u, sig, vh = np.linalg.svd(mat, full_matrices=False)
-        if sig.size and sig[0] > 0.0:
-            keep = int(np.sum(sig > cutoff * sig[0]))
-        else:
-            keep = 1
-        keep = max(keep, 1)
-        if max_bond is not None:
-            keep = min(keep, max_bond)
-        cores[s] = vh[:keep].reshape(keep, n, n2, b)
-        cores[s - 1] = np.tensordot(
-            cores[s - 1], u[:, :keep] * sig[:keep], axes=(3, 0)
-        )
+    for _ in range(max(nsweep, 1)):
+        # Left→right QR canonicalisation.
+        for s in range(nsite - 1):
+            sh = cores[s].shape
+            mat = cores[s].reshape(-1, sh[-1])
+            q, r = np.linalg.qr(mat)
+            cores[s] = q.reshape(*sh[:-1], q.shape[1])
+            cores[s + 1] = np.tensordot(r, cores[s + 1], axes=(1, 0))
+        # Right→left SVD truncation.
+        for s in range(nsite - 1, 0, -1):
+            sh = cores[s].shape
+            mat = cores[s].reshape(sh[0], -1)
+            u, sig, vh = np.linalg.svd(mat, full_matrices=False)
+            if sig.size and sig[0] > 0.0:
+                keep = int(np.sum(sig > cutoff * sig[0]))
+                if rate is not None and rate < 1.0:
+                    csum = np.cumsum(sig**2)
+                    keep_r = int(np.searchsorted(csum / csum[-1], rate) + 1)
+                    keep = min(keep, keep_r)
+            else:
+                keep = 1
+            keep = max(keep, 1)
+            if max_bond is not None:
+                keep = min(keep, max_bond)
+            cores[s] = vh[:keep].reshape(keep, *sh[1:])
+            cores[s - 1] = np.tensordot(
+                cores[s - 1], u[:, :keep] * sig[:keep], axes=(-1, 0)
+            )
     return cores
 
 
