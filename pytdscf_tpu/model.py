@@ -73,6 +73,8 @@ class Model:
     init_HartreeProduct: list[list[list[float]]] | None = None
     init_weight_ESTATE: list[float] | None = None
     init_weight_VIBSTATE: list[list[float]] | None = None
+    init_weight_VIB_GS: float | None = None
+    primbas_gs: list | None = None
     ints_prim_file: str | None = None
 
     def __init__(
@@ -102,6 +104,9 @@ class Model:
         ops = self._wrap_operators(dict(operators))
         self.hamiltonian = ops.pop("hamiltonian")
         self.observables = ops
+        for op in [self.hamiltonian, *self.observables.values()]:
+            if hasattr(op, "bind_basis"):
+                op.bind_basis(self.basinfo)
         self.build_td_hamiltonian = build_td_hamiltonian
         if self.hamiltonian.nstate != self.basinfo.get_nstate():
             raise ValueError(
