@@ -14,7 +14,7 @@ import jax
 # literals (the reference enables x64 at import as well: __init__.py:36).
 jax.config.update("jax_enable_x64", True)
 
-from pytdscf_tpu import units  # noqa: E402
+from pytdscf_tpu import spectra, units  # noqa: E402
 from pytdscf_tpu.basis import (  # noqa: E402
     Boson,
     Exciton,
@@ -44,5 +44,6 @@ __all__ = [
     "Sine",
     "TensorHamiltonian",
     "TensorOperator",
+    "spectra",
     "units",
 ]

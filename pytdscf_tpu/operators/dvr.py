@@ -298,8 +298,10 @@ def nmr_to_mpo(
     if not term_mpos:
         raise ValueError("no nMR components to build an MPO from")
     summed = alg.mpo_sum(term_mpos, cutoff=1.0e-13)
-    return alg.mpo_compress(
-        summed, cutoff=1.0e-13, max_bond=k, rate=rate, nsweep=nsweep
+    return alg.mpo_balance(
+        alg.mpo_compress(
+            summed, cutoff=1.0e-13, max_bond=k, rate=rate, nsweep=nsweep
+        )
     )
 
 

@@ -205,6 +205,31 @@ def mpo_compress(
     return cores
 
 
+def mpo_balance(cores: Cores, nsweep: int = 3) -> Cores:
+    """Per-bond-index (Sinkhorn-style) norm balancing of an MPO gauge.
+
+    SVD-compressed MPOs concentrate the whole operator scale in one core
+    (e.g. ‖W₀‖ ~ 1e4 with all other cores orthonormal); environment blocks
+    built from such a gauge grow exponentially along the chain, which is
+    harmless in float64 but overflows/denormalises the float32 path used on
+    TPU.  Scaling bond index α by t and dividing the neighbour leaves the
+    operator invariant; equalising the per-index norms of the two cores
+    sharing each bond restores O(1) finite-state-automaton-like channels.
+    """
+    cores = [np.asarray(c, dtype=np.complex128) for c in cores]
+    for _ in range(nsweep):
+        for i in range(len(cores) - 1):
+            a, b = cores[i], cores[i + 1]
+            d = a.shape[-1]
+            ra = np.sqrt(np.sum(np.abs(a.reshape(-1, d)) ** 2, axis=0))
+            rb = np.sqrt(np.sum(np.abs(b.reshape(d, -1)) ** 2, axis=1))
+            t = np.sqrt(np.where(ra > 0, rb, 1.0) / np.where(rb > 0, ra, 1.0))
+            t = np.where((ra > 0) & (rb > 0), t, 1.0)
+            cores[i] = a * t
+            cores[i + 1] = b / t.reshape(d, *([1] * (b.ndim - 1)))
+    return cores
+
+
 def mpo_sum(all_cores: list[Cores], cutoff: float = 1.0e-13) -> Cores:
     """Sum many MPOs pairwise (balanced tree), compressing at each level."""
     if not all_cores:
@@ -217,7 +242,7 @@ def mpo_sum(all_cores: list[Cores], cutoff: float = 1.0e-13) -> Cores:
         if len(level) % 2 == 1:
             nxt.append(level[-1])
         level = nxt
-    return mpo_compress(level[0], cutoff)
+    return mpo_balance(mpo_compress(level[0], cutoff))
 
 
 def mpo_to_dense(cores: Cores) -> np.ndarray:
