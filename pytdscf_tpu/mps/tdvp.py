@@ -322,8 +322,15 @@ class TDVPEngine:
                 sys_stack.append(blocks_new)
         self.env_stack = sys_stack
 
-    def propagate(self, dt: float) -> None:
-        """One TDVP step: forward + backward half-sweeps of dt/2 each."""
+    def propagate(
+        self, dt: float, one_gate_to_apply=None, kraus_op=None
+    ) -> None:
+        """One TDVP step: forward + backward half-sweeps of dt/2 each.
+
+        Optional open-system channels (one-site supergates, Kraus maps) are
+        applied between the half-sweeps with re-canonicalisation, following
+        the reference ordering (``/root/reference/pytdscf/_mps_cls.py:488-492``).
+        """
         mode = {"none": "prop", "imaginary": "imag", "improved": "improved"}[
             self.config.relax
         ]
@@ -332,7 +339,71 @@ class TDVPEngine:
         else:
             scale = dio.put(np.asarray(-0.5 * dt), self.dtype)
         self._half_sweep(scale, forward=True, mode=mode)
+        if one_gate_to_apply is not None:
+            self.apply_one_gate(one_gate_to_apply)
+        if kraus_op is not None:
+            self.apply_kraus(kraus_op)
         self._half_sweep(scale, forward=False, mode=mode)
+
+    # ------------------------------------------------- open-system channels
+    def apply_one_gate(self, gate) -> None:
+        """Apply an MPO gate (zip-up, exact) and re-canonicalise."""
+        fused = gate.fused_mpo(self.phys_dims)
+        for i in range(self.nstate):
+            Ws = fused[i][i]
+            if Ws is None:
+                continue
+            for p in range(self.nsite):
+                W = dio.put(Ws[p], self.dtype)
+                core = self.cores[i][p]
+                new = dio.jeinsum("anmb,lmr->alnbr", W, core)
+                a, l, n, b, r = new.shape
+                self.cores[i][p] = new.reshape(a * l, n, b * r)
+        self.canonicalize()
+
+    def apply_kraus(self, kraus_op: dict) -> None:
+        """Apply Kraus channels {sites: B[q, d, d]} to ρ-vectorised sites."""
+        from pytdscf_tpu import kraus as KR
+
+        for sites, B in kraus_op.items():
+            B = np.asarray(B)
+            if len(sites) == 1:
+                G = dio.put(KR.kraus_supergate(B), self.dtype)
+                p = sites[0]
+                for i in range(self.nstate):
+                    self.cores[i][p] = dio.jeinsum(
+                        "nm,lmr->lnr", G, self.cores[i][p]
+                    )
+            elif len(sites) == 2:
+                p, q = sites
+                if q != p + 1:
+                    raise ValueError("two-site Kraus needs adjacent sites")
+                for i in range(self.nstate):
+                    cl, cr = KR.kraus_contract_two_site(
+                        dio.fetch(self.cores[i][p]),
+                        dio.fetch(self.cores[i][q]),
+                        B,
+                        max_bond=max(
+                            self.cores[i][p].shape[0] * self.cores[i][p].shape[1],
+                            self.cores[i][p].shape[2],
+                        ),
+                    )
+                    self.cores[i][p] = dio.put(cl, self.dtype)
+                    self.cores[i][q] = dio.put(cr, self.dtype)
+            else:
+                raise ValueError(f"unsupported Kraus site tuple {sites}")
+        self.canonicalize()
+
+    def canonicalize(self) -> None:
+        """Left-canonicalise A…A·Psi with the centre at the last site."""
+        for i in range(self.nstate):
+            for p in range(self.nsite - 1):
+                a, sig = K.qr_right(self.cores[i][p])
+                self.cores[i][p] = a
+                self.cores[i][p + 1] = K.absorb_right(
+                    sig, self.cores[i][p + 1]
+                )
+        self.invalidate_env()
 
     # ------------------------------------------------------- observables
     def expectation(self, operator=None) -> complex:
@@ -380,6 +451,62 @@ class TDVPEngine:
             total += dio.fetch(S)[0, 0]
         return total
 
+    def trace(self, istate: int = 0) -> complex:
+        """Tr ρ of a vectorised-density-matrix MPS (Liouville space)."""
+        import math
+
+        S = dio.ones((1, 1), self.dtype)
+        for p in range(self.nsite):
+            d = int(math.isqrt(self.phys_dims[p]))
+            w = dio.put(np.eye(d).reshape(-1), self.dtype)
+            S = dio.jeinsum("lk,lnr,n->rk", S, self.cores[istate][p], w)
+        return complex(dio.fetch(S)[0, 0])
+
+    def reduced_density_liouville(
+        self, remain_nleg: tuple[int, ...], istate: int = 0
+    ) -> np.ndarray:
+        """Tr_rest ρ by vec(I) trace contraction over untraced sites.
+
+        ``remain_nleg[p] = 2`` keeps site p's density block (d×d),
+        1 keeps only its diagonal, 0 traces it out; sites beyond
+        ``len(remain_nleg)`` are traced (reference Liouville RDMs,
+        ``/root/reference/pytdscf/_mps_cls.py:1628-1738``).
+        """
+        import math
+
+        legs = list(remain_nleg) + [0] * (self.nsite - len(remain_nleg))
+        acc = dio.ones((1,), self.dtype)  # open: (bond, *kept)
+        kept_shapes = []
+        for p in range(self.nsite):
+            core = self.cores[istate][p]
+            d = int(math.isqrt(self.phys_dims[p]))
+            if legs[p] == 0:
+                w = dio.put(np.eye(d).reshape(-1), self.dtype)
+                m = dio.jeinsum("lnr,n->lr", core, w)
+                acc = dio.jeinsum("l...,lr->r...", acc, m)
+            else:
+                acc = dio.jeinsum("l...,lnr->rn...", acc, core)
+                kept_shapes.append((p, legs[p], d))
+        out = dio.fetch(acc)[0, ...]
+        # axes are reversed (kept legs were prepended); restore site order
+        out = np.transpose(out, axes=tuple(range(out.ndim - 1, -1, -1)))
+        # reshape each kept d² leg to (d, d); diagonal-only keeps the diag
+        arrs = out
+        shape = []
+        for _, nleg, d in kept_shapes:
+            shape.extend([d, d])
+        arrs = arrs.reshape(tuple(shape)) if shape else arrs
+        # apply diagonal extraction site-major where nleg == 1
+        ax = 0
+        for _, nleg, d in kept_shapes:
+            if nleg == 1:
+                arrs = np.diagonal(arrs, axis1=ax, axis2=ax + 1)
+                arrs = np.moveaxis(arrs, -1, ax)
+                ax += 1
+            else:
+                ax += 2
+        return arrs
+
     def pop_states(self) -> list[float]:
         return [
             float(np.asarray(dio.norm2(self.cores[i][0])))
@@ -387,6 +514,8 @@ class TDVPEngine:
         ]
 
     def norm(self) -> float:
+        if self.config.space == "liouville":
+            return abs(self.trace())
         return float(np.sqrt(sum(self.pop_states())))
 
     def bond_dims(self, istate: int = 0) -> list[int]:
@@ -403,6 +532,8 @@ class TDVPEngine:
         ``_mps_cls.py:1208-1287``).  Output legs ordered site-major,
         ket before bra.
         """
+        if self.config.space == "liouville":
+            return self.reduced_density_liouville(remain_nleg, istate)
         cores = [self.cores[istate][p] for p in range(len(remain_nleg))]
         core = cores.pop()
         nleg = remain_nleg[-1]

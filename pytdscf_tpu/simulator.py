@@ -324,7 +324,11 @@ class Simulator:
             )
             if istep % backup_interval == backup_interval - 1:
                 self._save(engine, config.jobname, savefile_ext)
-            engine.propagate(dt_au)
+            engine.propagate(
+                dt_au,
+                one_gate_to_apply=self.model.one_gate_to_apply,
+                kraus_op=self.model.kraus_op,
+            )
             props.update(dt_au)
             if istep % 100 == 1 and self.verbose > 1:
                 logger.info(
