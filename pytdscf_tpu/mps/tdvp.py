@@ -322,6 +322,158 @@ class TDVPEngine:
                 sys_stack.append(blocks_new)
         self.env_stack = sys_stack
 
+    # ------------------------------------------------ adaptive (a1TDVP)
+    def _evolve_psis(self, psis, Ls, Ws, Rs, scale, mode):
+        """Krylov-evolve the stacked site tensors (no gauge move)."""
+        cfg = self.config
+        out, _, _ = _site_step(
+            psis, None, Ls, Ws, Rs, scale, cfg.thresh_exp,
+            pairs=self.pairs, nstate=self.nstate, mode=mode,
+            conserve_norm=cfg.conserve_norm,
+            arnoldi=cfg.integrator == "arnoldi",
+            max_dim=cfg.max_krylov, last=True, forward=True,
+        )
+        return out
+
+    def _heff_all(self, psis, Ls, Ws, Rs):
+        """H_eff·ψ per output state (for the enrichment residual)."""
+        sigs = [None] * self.nstate
+        for (i, j), L, W, R in zip(self.pairs, Ls, Ws, Rs):
+            term = K.heff_apply(L, W, R, psis[j])
+            sigs[i] = term if sigs[i] is None else sigs[i] + term
+        for i in range(self.nstate):
+            if sigs[i] is None:
+                sigs[i] = psis[i] * 0.0
+        return sigs
+
+    def _half_sweep_adaptive(self, scale, forward: bool, mode: str) -> None:
+        """Half-sweep with bond growth and SVD truncation (a1TDVP).
+
+        Rank enrichment follows the reference's adaptive scheme
+        (``/root/reference/pytdscf/_mps_cls.py:1985-2288``): each bond is
+        enlarged by the leading orthogonal complement of H_eff·ψ (the 1-site
+        projection error) up to ``adaptive_Dmax`` in steps of
+        ``adaptive_dD``; after the backward bond propagation, singular
+        values below ``adaptive_p_svd``·σ₀ are truncated.
+        """
+        cfg = self.config
+        if self.env_stack is None:
+            self.env_stack = (
+                self.build_right_env_stack()
+                if forward
+                else self.build_left_env_stack()
+            )
+        env_stack = self.env_stack
+        sys_stack = [self._trivial_block()]
+        order = (
+            range(self.nsite) if forward else range(self.nsite - 1, -1, -1)
+        )
+        sys_blocks = sys_stack[0]
+        for p in order:
+            env_blocks = env_stack.pop()
+            last = p == (self.nsite - 1 if forward else 0)
+            Ls = sys_blocks if forward else env_blocks
+            Rs = env_blocks if forward else sys_blocks
+            Ws = self._site_W(p)
+            psis_new = self._evolve_psis(self._psis(p), Ls, Ws, Rs, scale, mode)
+            if last:
+                for i in range(self.nstate):
+                    self.cores[i][p] = psis_new[i]
+                break
+            q = p + 1 if forward else p - 1
+            hpsis = self._heff_all(psis_new, Ls, Ws, Rs)
+            a_sites, sigs = [], []
+            for i in range(self.nstate):
+                psi, hpsi = psis_new[i], hpsis[i]
+                l, n, r = psi.shape
+                if forward:
+                    mat = psi.reshape(l * n, r)
+                    hmat = hpsi.reshape(l * n, r)
+                else:
+                    mat = jnp.transpose(psi, (2, 1, 0)).reshape(r * n, l)
+                    hmat = jnp.transpose(hpsi, (2, 1, 0)).reshape(r * n, l)
+                qm, sig = jnp.linalg.qr(mat)
+                k = qm.shape[1]
+                room = min(cfg.adaptive_Dmax, mat.shape[0]) - k
+                if room > 0:
+                    resid = hmat - qm @ (qm.conj().T @ hmat)
+                    u, sv, _ = jnp.linalg.svd(resid, full_matrices=False)
+                    sv_host = np.asarray(dio.fetch(sv))
+                    add = int(np.sum(sv_host > cfg.adaptive_p_proj))
+                    add = min(add, cfg.adaptive_dD, room, int(u.shape[1]))
+                    if add > 0:
+                        qm = jnp.concatenate([qm, u[:, :add]], axis=1)
+                        sig = jnp.concatenate(
+                            [sig, jnp.zeros((add, sig.shape[1]), sig.dtype)],
+                            axis=0,
+                        )
+                if forward:
+                    a_sites.append(qm.reshape(l, n, -1))
+                    sigs.append(sig)  # (k', r)
+                else:
+                    a_sites.append(
+                        jnp.transpose(qm.reshape(r, n, -1), (2, 1, 0))
+                    )
+                    sigs.append(sig.T)  # (l, k')
+            blocks_new = _renorm_blocks(
+                sys_blocks, tuple(a_sites), Ws, tuple(a_sites),
+                pairs=self.pairs, forward=forward,
+            )
+            # backward bond propagation, all states stacked (cross-couplings)
+            if mode != "improved":
+                kmv_L = blocks_new if forward else env_blocks
+                kmv_R = env_blocks if forward else blocks_new
+                sshapes = tuple(sg.shape for sg in sigs)
+                kmv = _make_kmatvec(
+                    self.pairs, kmv_L, kmv_R, sshapes, self.nstate, self.dtype
+                )
+                svec = krylov_expm(
+                    kmv, K.stack_states(sigs), -scale, cfg.thresh_exp,
+                    max_dim=cfg.max_krylov,
+                    conserve_norm=cfg.conserve_norm or mode == "imag",
+                    arnoldi=cfg.integrator == "arnoldi",
+                )
+                sigs = K.split_states(svec, sshapes)
+            # SVD truncation of each bond
+            for i in range(self.nstate):
+                sig = sigs[i]
+                u, sv, vh = jnp.linalg.svd(sig, full_matrices=False)
+                sv_host = np.asarray(dio.fetch(sv))
+                if sv_host.size and sv_host[0] > 0:
+                    keep = int(
+                        np.sum(sv_host > cfg.adaptive_p_svd * sv_host[0])
+                    )
+                else:
+                    keep = 1
+                keep = max(keep, 1)
+                if keep < sv_host.size:
+                    if forward:
+                        # A ← A·u_k ; σ ← s_k·v_k†  (keep, r)
+                        a_sites[i] = dio.jeinsum(
+                            "lnk,km->lnm", a_sites[i], u[:, :keep]
+                        )
+                        sig = (sv[:keep, None] * vh[:keep]).astype(self.dtype)
+                    else:
+                        # B ← v_k†·B ; σ ← u_k·s_k  (l, keep)
+                        a_sites[i] = dio.jeinsum(
+                            "mk,knr->mnr", vh[:keep], a_sites[i]
+                        )
+                        sig = (u[:, :keep] * sv[:keep]).astype(self.dtype)
+                    if cfg.conserve_norm and mode != "improved":
+                        sig = sig / jnp.linalg.norm(sig)
+                self.cores[i][p] = a_sites[i]
+                if forward:
+                    self.cores[i][q] = K.absorb_right(sig, self.cores[i][q])
+                else:
+                    self.cores[i][q] = K.absorb_left(self.cores[i][q], sig)
+            blocks_new = _renorm_blocks(
+                sys_blocks, tuple(a_sites), Ws, tuple(a_sites),
+                pairs=self.pairs, forward=forward,
+            )
+            sys_blocks = blocks_new
+            sys_stack.append(blocks_new)
+        self.env_stack = sys_stack
+
     def propagate(
         self, dt: float, one_gate_to_apply=None, kraus_op=None
     ) -> None:
@@ -338,12 +490,16 @@ class TDVPEngine:
             scale = dio.put(np.asarray(-0.5j * dt), self.dtype)
         else:
             scale = dio.put(np.asarray(-0.5 * dt), self.dtype)
-        self._half_sweep(scale, forward=True, mode=mode)
+        sweep = (
+            self._half_sweep_adaptive if self.config.adaptive
+            else self._half_sweep
+        )
+        sweep(scale, forward=True, mode=mode)
         if one_gate_to_apply is not None:
             self.apply_one_gate(one_gate_to_apply)
         if kraus_op is not None:
             self.apply_kraus(kraus_op)
-        self._half_sweep(scale, forward=False, mode=mode)
+        sweep(scale, forward=False, mode=mode)
 
     # ------------------------------------------------- open-system channels
     def apply_one_gate(self, gate) -> None:
