@@ -68,7 +68,9 @@ def fetch_scalar(x: jax.Array) -> complex:
 
 @partial(jax.jit, static_argnames=("sub",))
 def _einsum(sub, *ops):
-    return jnp.einsum(sub, *ops, optimize=True)
+    return jnp.einsum(
+        sub, *ops, optimize=True, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def jeinsum(sub: str, *ops) -> jax.Array:

@@ -19,6 +19,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# TPU matmuls default to bf16 passes; environment-block recursions amplify
+# that 0.4%-level error multiplicatively into overflow.  All contractions in
+# the TDVP hot path therefore force full-precision accumulation (f32 on TPU
+# via bf16x6, exact for f64 on CPU).
+PRECISION = jax.lax.Precision.HIGHEST
+
 
 @jax.jit
 def qr_right(psi: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -41,13 +47,13 @@ def heff_apply(
     L: jax.Array, W: jax.Array, R: jax.Array, psi: jax.Array
 ) -> jax.Array:
     """σ[b, i, x] = Σ L[b,a,k] · W[a,i,j,c] · R[x,c,r] · ψ[k,j,r]."""
-    return jnp.einsum("bak,aijc,xcr,kjr->bix", L, W, R, psi, optimize=True)
+    return jnp.einsum("bak,aijc,xcr,kjr->bix", L, W, R, psi, optimize=True, precision=PRECISION)
 
 
 @jax.jit
 def keff_apply(L: jax.Array, R: jax.Array, sig: jax.Array) -> jax.Array:
     """σ'[b, x] = Σ L[b,a,k] · R[x,a,r] · σ[k,r]."""
-    return jnp.einsum("bak,xar,kr->bx", L, R, sig, optimize=True)
+    return jnp.einsum("bak,xar,kr->bx", L, R, sig, optimize=True, precision=PRECISION)
 
 
 @jax.jit
@@ -73,26 +79,26 @@ def renorm_block_right(
 @jax.jit
 def absorb_right(sig: jax.Array, b_core: jax.Array) -> jax.Array:
     """Psi(p+1) = σ · B(p+1):   (k, r) × (r, n, s) → (k, n, s)."""
-    return jnp.einsum("kr,rns->kns", sig, b_core)
+    return jnp.einsum("kr,rns->kns", sig, b_core, precision=PRECISION)
 
 
 @jax.jit
 def absorb_left(a_core: jax.Array, sig: jax.Array) -> jax.Array:
     """Psi(p−1) = A(p−1) · σ:   (l, n, s) × (s, k) → (l, n, k)."""
-    return jnp.einsum("lns,sk->lnk", a_core, sig)
+    return jnp.einsum("lns,sk->lnk", a_core, sig, precision=PRECISION)
 
 
 # --------------------------------------------------------------- overlaps
 @jax.jit
 def ovlp_left_conj(S: jax.Array, bra: jax.Array, ket: jax.Array) -> jax.Array:
     """S'[o, p] = Σ bra*[b,n,o] · ket[k,n,p] · S[b,k]."""
-    return jnp.einsum("bk,bno,knp->op", S, bra.conj(), ket, optimize=True)
+    return jnp.einsum("bk,bno,knp->op", S, bra.conj(), ket, optimize=True, precision=PRECISION)
 
 
 @jax.jit
 def ovlp_left_noconj(S: jax.Array, bra: jax.Array, ket: jax.Array) -> jax.Array:
     """Unconjugated transfer (T/2-trick autocorrelation)."""
-    return jnp.einsum("bk,bno,knp->op", S, bra, ket, optimize=True)
+    return jnp.einsum("bk,bno,knp->op", S, bra, ket, optimize=True, precision=PRECISION)
 
 
 def stack_states(states) -> jax.Array:

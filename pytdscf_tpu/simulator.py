@@ -71,8 +71,11 @@ class Simulator:
         self.t2_trick = t2_trick
         self.verbose = verbose
         self.backend = backend  # accepted for API parity; engine is JAX-native
-        if ci_type.lower() != "mps":
-            raise NotImplementedError("only ci_type='mps' is implemented")
+        self.ci_type = ci_type.lower()
+        if self.ci_type in ("standard-method", "sm"):
+            self.ci_type = "mps"
+        if self.ci_type not in ("mps", "mctdh"):
+            raise NotImplementedError(f"unknown ci_type {ci_type}")
         if proj_gs:
             raise NotImplementedError("proj_gs initial states: not yet")
 
@@ -207,7 +210,13 @@ class Simulator:
     # ------------------------------------------------------------------
     def _initial_engine(
         self, config: Config, restart: bool, loadfile_ext: str
-    ) -> TDVPEngine:
+    ):
+        if self.ci_type == "mctdh":
+            if restart:
+                raise NotImplementedError("MCTDH restart is not supported yet")
+            from pytdscf_tpu.mctdh import MCTDHEngine
+
+            return MCTDHEngine(self.model, config)
         if restart:
             path = f"wf_{self.jobname}{loadfile_ext}.pkl"
             with open(path, "rb") as f:
