@@ -13,6 +13,10 @@ import jax
 # Double precision is required for the reference's 1e-9-level regression
 # literals (the reference enables x64 at import as well: __init__.py:36).
 jax.config.update("jax_enable_x64", True)
+# TPU matmuls default to bfloat16 passes (~4e-3 relative error), which the
+# TDVP environment-block recursion amplifies into overflow in complex64
+# runs; force full f32 accumulation everywhere (no-op on CPU f64).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 from pytdscf_tpu import spectra, units  # noqa: E402
 from pytdscf_tpu.basis import (  # noqa: E402

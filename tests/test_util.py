@@ -1,0 +1,117 @@
+"""Util layer: format converters, normal-mode analysis, QFF fitting."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pytdscf_tpu import units
+from pytdscf_tpu.potentials import h2o_k_orig
+from pytdscf_tpu.util.converters import (
+    korig_to_mop,
+    korig_to_op,
+    mop_to_korig,
+    op_to_korig,
+)
+from pytdscf_tpu.util.grid2qff import fit_qff
+from pytdscf_tpu.util.hess_util import (
+    harmonic_korig,
+    normal_mode_analysis,
+)
+
+
+def test_mop_roundtrip(tmp_path):
+    path = str(tmp_path / "test.mop")
+    korig_to_mop(dict(h2o_k_orig), 3, path, level="B3LYP/cc-pVDZ")
+    back = mop_to_korig(path, 3)
+    for key, val in h2o_k_orig.items():
+        assert back[key] == pytest.approx(val, rel=1e-12), key
+
+
+def test_op_roundtrip(tmp_path):
+    path = str(tmp_path / "test.op")
+    korig_to_op(dict(h2o_k_orig), path)
+    back = op_to_korig(path)
+    for key, val in h2o_k_orig.items():
+        assert back[tuple(sorted(key))] == pytest.approx(val, rel=1e-12), key
+
+
+def test_normal_mode_analysis_diatomic():
+    # two unit-charge masses on a spring along z: one vibration
+    k = 0.5  # a.u. force constant
+    m1, m2 = 1.0, 2.0  # amu
+    hess = np.zeros((6, 6))
+    hess[2, 2] = hess[5, 5] = k
+    hess[2, 5] = hess[5, 2] = -k
+    coords = np.array([[0, 0, 0], [0, 0, 1.8]])
+    freqs, disp = normal_mode_analysis(hess, [m1, m2], coords)
+    from pytdscf_tpu.util.hess_util import EMU_PER_AMU
+
+    mu = (m1 * m2) / (m1 + m2) * EMU_PER_AMU
+    expected = math.sqrt(k / mu) * units.au_in_cm1
+    assert len(freqs) == 1
+    assert freqs[0] == pytest.approx(expected, rel=1e-08)
+    kq = harmonic_korig(freqs)
+    assert kq[(1, 1)] == pytest.approx((expected / units.au_in_cm1) ** 2)
+
+
+def test_fit_qff_recovers_polynomial():
+    rng = np.random.default_rng(0)
+    k22, k222, k2222 = 4.0e-4, -2.0e-5, 1.5e-6
+    k12 = 3.0e-6
+    q = np.linspace(-2, 2, 9)
+    e1 = k22 / 2 * q**2 + k222 / 6 * q**3 + k2222 / 24 * q**4
+    qq = np.array([(a, b) for a in q for b in q])
+    e2 = k12 * qq[:, 0] * qq[:, 1]
+    k = fit_qff({(2,): (q, e1), (1, 2): (qq, e2)})
+    assert k[(2, 2)] == pytest.approx(k22, rel=1e-09)
+    assert k[(2, 2, 2)] == pytest.approx(k222, rel=1e-09)
+    assert k[(2, 2, 2, 2)] == pytest.approx(k2222, rel=1e-09)
+    assert k[(1, 2)] == pytest.approx(k12, rel=1e-09)
+
+
+def test_gout_parsers(tmp_path):
+    """Synthetic Gaussian-format block exercises the table scanners."""
+    from pytdscf_tpu.util.gout import AMU2EMU, gout_to_dipole, gout_to_korig
+
+    log = """\
+ Some header
+ I J     Freq(I)    Freq(J)         K
+  dummy separator follows
+
+  1  1   1500.0   1500.0   0.123
+  2  2   2000.0   2000.0   0.456
+  1  1  1   0.0   0.0   0.002
+
+ trailing
+ Unit of the property: Debye
+ header1
+ header2
+ header3
+ 1  0.1 0.0 0.2
+ 1 1  0.01 0.0 0.02
+
+"""
+    path = tmp_path / "g.log"
+    path.write_text(log)
+    k, freqs = gout_to_korig(str(path), 2)
+    assert freqs[0] == 1500.0 and freqs[1] == 2000.0
+    assert k[(1, 1)] == pytest.approx(0.123 / AMU2EMU)
+    assert k[(1, 1, 1)] == pytest.approx(0.002 / AMU2EMU**1.5)
+    mu = gout_to_dipole(str(path), 2)
+    assert mu[(1,)][0] == pytest.approx(0.1 / math.sqrt(AMU2EMU))
+    assert mu[(1, 1)][2] == pytest.approx(0.02 / AMU2EMU)
+
+
+def test_plotting(tmp_path):
+    from pytdscf_tpu.util.plotting import anim_density_matrix, plot_heatmap
+
+    rho = np.einsum(
+        "ti,tj->tij",
+        np.exp(1j * np.linspace(0, 1, 5))[:, None] * np.eye(3)[0],
+        np.conj(np.exp(1j * np.linspace(0, 1, 5))[:, None] * np.eye(3)[0]),
+    )
+    plot_heatmap(rho, filename=str(tmp_path / "h.png"))
+    assert (tmp_path / "h.png").exists()
+    anim_density_matrix(rho, filename=str(tmp_path / "a.gif"))
+    assert (tmp_path / "a.gif").exists()
