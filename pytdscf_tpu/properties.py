@@ -11,6 +11,8 @@ variable naming (``rho_{key}_{istate}``) as the reference's netCDF export.
 from __future__ import annotations
 
 import os
+import time as _time
+import warnings
 
 import h5py
 import numpy as np
@@ -60,7 +62,16 @@ class Properties:
         self.energy: float | None = None
         self.norm: float | None = None
         self.pops: list[float] | None = None
+        self.bonddim: list[int] | None = None
         self.expectations: dict[str, complex] = {}
+        self._norm_warned = False
+        self._t_wall = _time.time()
+        #: initial state for the explicit ⟨Ψ(0)|Ψ(t)⟩ autocorrelation
+        self._initial_cores = (
+            None
+            if t2_trick
+            else [[c for c in state] for state in engine.cores]
+        )
         self.jobdir = config.jobname
         os.makedirs(self.jobdir, exist_ok=True)
         self._files: dict[str, object] = {}
@@ -107,11 +118,37 @@ class Properties:
         observables_per_step=1,
     ) -> None:
         if autocorr and self.nstep % autocorr_per_step == 0:
-            self.autocorr = self.engine.autocorr() if self.t2_trick else None
+            if self.t2_trick:
+                self.autocorr = self.engine.autocorr()
+            elif self._initial_cores is not None and hasattr(
+                self.engine, "overlap_conj"
+            ):
+                # explicit ⟨Ψ(0)|Ψ(t)⟩ (reference's non-T/2 path,
+                # properties.py:212-230)
+                save = self.engine.cores
+                self.engine.cores = self._initial_cores
+                try:
+                    self.autocorr = self.engine.overlap_conj(save)
+                finally:
+                    self.engine.cores = save
+            else:
+                self.autocorr = None
         if energy and self.nstep % energy_per_step == 0:
             self.energy = self.engine.expectation(self.model.hamiltonian).real
         if norm and self.nstep % norm_per_step == 0:
             self.norm = self.engine.norm()
+            if (
+                self.config.conserve_norm
+                and self.config.space == "hilbert"
+                and not self._norm_warned
+                and abs(self.norm - 1.0) > 1.0e-05
+            ):
+                warnings.warn(
+                    f"norm drift detected: |Psi| = {self.norm:.10f} at step "
+                    f"{self.nstep} (reference warns likewise, "
+                    "properties.py:366-373)"
+                )
+                self._norm_warned = True
         if populations and self.nstep % populations_per_step == 0:
             self.pops = self.engine.pop_states()
         if observables and self.nstep % observables_per_step == 0:
@@ -119,6 +156,8 @@ class Properties:
                 self.expectations[name] = self.engine.expectation(op)
         if self.rd_keys is not None and self.nstep % self.rd_step == 0:
             self._export_reduced_density()
+        if hasattr(self.engine, "bond_dims"):
+            self.bonddim = self.engine.bond_dims()
 
     # ------------------------------------------------------------------
     def _dat(self, name: str, header: str):
@@ -151,6 +190,18 @@ class Properties:
             )
             f.write(
                 f"{t:6.9f}\t" + "\t".join(f"{p:6.9f}" for p in self.pops) + "\n"
+            )
+            f.flush()
+        if self.bonddim is not None and self.config.adaptive:
+            f = self._dat(
+                "bonddim",
+                f"# time [{unit}]\t" + "\t".join(
+                    f"bond_{i}" for i in range(len(self.bonddim))
+                ),
+            )
+            f.write(
+                f"{t:6.9f}\t"
+                + "\t".join(str(b) for b in self.bonddim) + "\n"
             )
             f.flush()
         if self.expectations and self.nstep % observables_per_step == 0:

@@ -12,6 +12,12 @@ import os
 import pickle
 from typing import Any, Literal
 
+from pytdscf_tpu.checkpoint import (
+    load_wavefunction,
+    resolve_checkpoint,
+    save_wavefunction,
+)
+
 import numpy as np
 
 from pytdscf_tpu import units
@@ -70,14 +76,14 @@ class Simulator:
         self.model = model
         self.t2_trick = t2_trick
         self.verbose = verbose
+        self.checkpoint_backend = "pickle"
         self.backend = backend  # accepted for API parity; engine is JAX-native
         self.ci_type = ci_type.lower()
         if self.ci_type in ("standard-method", "sm"):
             self.ci_type = "mps"
         if self.ci_type not in ("mps", "mctdh"):
             raise NotImplementedError(f"unknown ci_type {ci_type}")
-        if proj_gs:
-            raise NotImplementedError("proj_gs initial states: not yet")
+        self.proj_gs = proj_gs
 
     # ------------------------------------------------------------------
     def propagate(
@@ -218,9 +224,13 @@ class Simulator:
 
             return MCTDHEngine(self.model, config)
         if restart:
-            path = f"wf_{self.jobname}{loadfile_ext}.pkl"
-            with open(path, "rb") as f:
-                payload = pickle.load(f)
+            path = resolve_checkpoint(f"wf_{self.jobname}{loadfile_ext}.pkl")
+            if path is None:
+                raise FileNotFoundError(
+                    f"no wavefunction checkpoint wf_{self.jobname}"
+                    f"{loadfile_ext}.pkl/.ckpt"
+                )
+            payload = load_wavefunction(path)
             cores = payload["cores"]
         else:
             cores = self._alloc_initial_cores()
@@ -254,6 +264,15 @@ class Simulator:
                         vec = np.asarray(
                             model.init_weight_VIBSTATE[istate][d], dtype=complex
                         )
+                    elif self.proj_gs and model.primbas_gs is not None:
+                        # vib functions projected from the ground-state basis
+                        # (reference SPFCoef.alloc_proj_gs semantics)
+                        from pytdscf_tpu.basis.op_matrix import op_matrix
+
+                        ov = op_matrix(
+                            prim, model.primbas_gs[d], "ovlp"
+                        )
+                        vec = np.asarray(ov[:, 0], dtype=complex)
                     else:
                         vec = np.zeros(phys_dims[d], dtype=complex)
                         vec[0] = 1.0
@@ -275,10 +294,14 @@ class Simulator:
             )
         return cores
 
-    def _save(self, engine: TDVPEngine, jobname: str, ext: str) -> None:
+    def _save(self, engine, jobname: str, ext: str) -> None:
         path = f"wf_{self.jobname}{ext}.pkl"
-        with open(path, "wb") as f:
-            pickle.dump({"cores": engine.to_numpy()}, f)
+        payload = engine.to_numpy()
+        if not isinstance(payload, dict):
+            payload = {"cores": payload}
+        elif "cores" not in payload:
+            payload = {"cores": payload}
+        save_wavefunction(payload, path, backend=self.checkpoint_backend)
 
     def _execute(
         self,

@@ -50,6 +50,34 @@ def test_anharmonic_fbr_h2o_propagate(tmp_path):
     assert pytest.approx(energy) == 0.021360262338234466
 
 
+def test_lvc_propagate_projgs(tmp_path):
+    """coupleJ=-0.04 variant with GS-projected initial vibrational states
+    (reference literal ``test_LVC_propagate_np.py:24``)."""
+    freqs_cm1 = [1000, 2000, 3000]
+    disps = [0.3, 0.4, 0.5]
+    nprim = 5
+    s0 = [PrimBas_HO(0.0, f, nprim) for f in freqs_cm1]
+    s1 = [PrimBas_HO(d, f, nprim) for f, d in zip(freqs_cm1, disps)]
+    basinfo = BasInfo([s0, s1])
+    ham = PolynomialHamiltonian(basinfo.get_ndof(), basinfo.get_nstate())
+    ham.coupleJ = [[0.0, -0.04], [-0.04, 0.007]]
+    lam = {
+        (0, 1): {0: 0.002, 1: 0.002, 2: 0.002},
+        (1, 0): {0: 0.002, 1: 0.002, 2: 0.002},
+    }
+    ham.set_LVC(basinfo, lam)
+    model = Model(basinfo, {"hamiltonian": ham})
+    model.m_aux_max = 5
+    model.init_weight_ESTATE = [1.0, 0.0]
+    model.primbas_gs = s0
+    import os as _os
+
+    _os.chdir(tmp_path)
+    sim = Simulator("LVC_projgs", model, proj_gs=True, verbose=0)
+    energy, _ = sim.propagate(maxstep=3, stepsize=0.05)
+    assert pytest.approx(energy) == 0.013669005758718421
+
+
 def test_lvc_propagate(tmp_path):
     freqs_cm1 = [1000, 2000, 3000]
     disps = [0.3, 0.4, 0.5]
