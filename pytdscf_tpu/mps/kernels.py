@@ -26,11 +26,58 @@ import jax.numpy as jnp
 PRECISION = jax.lax.Precision.HIGHEST
 
 
+def _mgs_qr(m: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Thin QR by modified Gram–Schmidt with reorthogonalisation.
+
+    Pure-arithmetic replacement for ``jnp.linalg.qr``: the TPU backend's QR
+    and SVD custom calls return garbage (1e9-magnitude entries, ‖QᴴQ−I‖ ~
+    1e18) in the null-space columns of near-rank-deficient complex64
+    matrices, which then poisons the TDVP environment blocks.  MGS(×2) with
+    deterministic canonical-basis completion of rank-deficient columns
+    keeps Q orthonormal to machine precision and Q·R = A exact.
+    """
+    N, r = m.shape
+    dtype = m.dtype
+    scale = jnp.linalg.norm(m) + jnp.asarray(1e-30, m.real.dtype)
+    Q = jnp.zeros((N, r), dtype)
+    R = jnp.zeros((r, r), dtype)
+    for k in range(r):
+        v = m[:, k]
+        # two Gram–Schmidt passes against the accumulated Q
+        c1 = Q.conj().T @ v
+        v = v - Q @ c1
+        c2 = Q.conj().T @ v
+        v = v - Q @ c2
+        R = R.at[:, k].set(c1 + c2)
+        nv = jnp.linalg.norm(v)
+        bad = nv < 1e-07 * scale
+        # deterministic completion: canonical basis vector, orthogonalised
+        e = jnp.zeros((N,), dtype).at[k % N].set(1.0)
+        e = e - Q @ (Q.conj().T @ e)
+        e = e - Q @ (Q.conj().T @ e)
+        ne = jnp.linalg.norm(e) + jnp.asarray(1e-30, m.real.dtype)
+        v = jnp.where(bad, e / ne, v / jnp.where(bad, 1.0, nv))
+        Q = Q.at[:, k].set(v)
+        R = R.at[k, k].set(jnp.where(bad, 0.0, nv).astype(dtype))
+    return Q, R
+
+
+def thin_qr(mat: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Backend-safe thin QR (LAPACK on CPU, MGS elsewhere)."""
+    return _thin_qr(mat)
+
+
+def _thin_qr(mat: jax.Array) -> tuple[jax.Array, jax.Array]:
+    if jax.default_backend() == "cpu":
+        return jnp.linalg.qr(mat)
+    return _mgs_qr(mat)
+
+
 @jax.jit
 def qr_right(psi: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Psi(l, n, r) → A(l, n, k), σ(k, r) with A left-orthogonal."""
     l, n, r = psi.shape
-    q, rmat = jnp.linalg.qr(psi.reshape(l * n, r))
+    q, rmat = _thin_qr(psi.reshape(l * n, r))
     return q.reshape(l, n, -1), rmat
 
 
@@ -38,7 +85,7 @@ def qr_right(psi: jax.Array) -> tuple[jax.Array, jax.Array]:
 def lq_left(psi: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Psi(l, n, r) → σ(l, k), B(k, n, r) with B right-orthogonal."""
     l, n, r = psi.shape
-    q, rmat = jnp.linalg.qr(psi.transpose(2, 1, 0).reshape(r * n, l))
+    q, rmat = _thin_qr(psi.transpose(2, 1, 0).reshape(r * n, l))
     return rmat.T, q.reshape(r, n, -1).transpose(2, 1, 0)
 
 
@@ -62,7 +109,8 @@ def renorm_block_left(
 ) -> jax.Array:
     """L'[o, c, p] = Σ A*_bra[b,i,o] · W[a,i,j,c] · A_ket[k,j,p] · L[b,a,k]."""
     return jnp.einsum(
-        "bak,bio,aijc,kjp->ocp", L, a_bra.conj(), W, a_ket, optimize=True
+        "bak,bio,aijc,kjp->ocp", L, a_bra.conj(), W, a_ket,
+        optimize=True, precision=PRECISION,
     )
 
 
@@ -72,7 +120,8 @@ def renorm_block_right(
 ) -> jax.Array:
     """R'[o, c, p] = Σ B*_bra[o,i,b] · W[c,i,j,a] · B_ket[p,j,k] · R[b,a,k]."""
     return jnp.einsum(
-        "bak,oib,cija,pjk->ocp", R, b_bra.conj(), W, b_ket, optimize=True
+        "bak,oib,cija,pjk->ocp", R, b_bra.conj(), W, b_ket,
+        optimize=True, precision=PRECISION,
     )
 
 

@@ -76,9 +76,16 @@ def alloc_hartree_product(
             vec = np.asarray(hartree_vecs[p], dtype=np.complex128)
             if space == "hilbert":
                 vec = vec / np.linalg.norm(vec)
-            else:  # liouville: normalise by trace of the vectorised matrix
-                nsq = int(math.isqrt(vec.size))
-                vec = vec / np.trace(vec.reshape(nsq, nsq))
+            else:
+                # liouville: normalise by the trace of the vectorised matrix;
+                # for subspace-projected (non-square) legs the kept entries
+                # of a diagonal subspace ARE the diagonal, so their sum is
+                # the trace.
+                nsq = math.isqrt(vec.size)
+                if nsq * nsq == vec.size:
+                    vec = vec / np.trace(vec.reshape(nsq, nsq))
+                else:
+                    vec = vec / np.sum(vec)
             data[0, :, 0] = vec
         else:
             if rng is None:

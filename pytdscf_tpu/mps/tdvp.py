@@ -32,26 +32,45 @@ Pair = tuple[int, int]
 
 
 # ---------------------------------------------------------------- matvecs
-def _make_hmatvec(pairs, Ls, Ws, Rs, shapes, nstate, dtype):
+def _make_hmatvec(pairs, Ls, Ws, Rs, shapes, nstate, dtype, facs=None):
+    """H_eff matvec; ``facs`` restores the scale of log-normalised blocks
+    (see the log-scaled environment scheme in :class:`TDVPEngine`)."""
+
     def mv(vec):
         psis = K.split_states(vec, shapes)
         sigs = [jnp.zeros(sh, dtype) for sh in shapes]
-        for (i, j), L, W, R in zip(pairs, Ls, Ws, Rs):
-            sigs[i] = sigs[i] + K.heff_apply(L, W, R, psis[j])
+        for q, ((i, j), L, W, R) in enumerate(zip(pairs, Ls, Ws, Rs)):
+            term = K.heff_apply(L, W, R, psis[j])
+            if facs is not None:
+                term = term * facs[q].astype(dtype)
+            sigs[i] = sigs[i] + term
         return K.stack_states(sigs)
 
     return mv
 
 
-def _make_kmatvec(pairs, Ls, Rs, shapes, nstate, dtype):
+def _make_kmatvec(pairs, Ls, Rs, shapes, nstate, dtype, facs=None):
     def mv(vec):
         sig_in = K.split_states(vec, shapes)
         sig_out = [jnp.zeros(sh, dtype) for sh in shapes]
-        for (i, j), L, R in zip(pairs, Ls, Rs):
-            sig_out[i] = sig_out[i] + K.keff_apply(L, R, sig_in[j])
+        for q, ((i, j), L, R) in enumerate(zip(pairs, Ls, Rs)):
+            term = K.keff_apply(L, R, sig_in[j])
+            if facs is not None:
+                term = term * facs[q].astype(dtype)
+            sig_out[i] = sig_out[i] + term
         return K.stack_states(sig_out)
 
     return mv
+
+
+def _normalize_block(B):
+    """(B̂, log‖B‖) — environment blocks are kept at unit Frobenius norm
+    with the scale carried as a log (float32/complex64 chains of hundreds
+    of sites overflow otherwise: per-core scale factors ~2 compound to
+    2^N ≫ 3.4e38)."""
+    nrm = jnp.linalg.norm(B).real
+    nrm = jnp.maximum(nrm, jnp.asarray(1e-30, nrm.dtype))
+    return B / nrm.astype(B.dtype), jnp.log(nrm)
 
 
 def _ground_state_multi(mv, v0):
@@ -98,6 +117,8 @@ def _site_step(
     Rs,
     scale,
     thresh,
+    lLs=None,
+    lRs=None,
     *,
     pairs: tuple[Pair, ...],
     nstate: int,
@@ -117,7 +138,12 @@ def _site_step(
     """
     dtype = psis[0].dtype
     shapes = tuple(p.shape for p in psis)
-    hmv = _make_hmatvec(pairs, Ls, Ws, Rs, shapes, nstate, dtype)
+    if lLs is None:
+        lLs = tuple(jnp.asarray(0.0, jnp.float32) for _ in pairs)
+    if lRs is None:
+        lRs = tuple(jnp.asarray(0.0, jnp.float32) for _ in pairs)
+    hfacs = tuple(jnp.exp(lL + lR) for lL, lR in zip(lLs, lRs))
+    hmv = _make_hmatvec(pairs, Ls, Ws, Rs, shapes, nstate, dtype, hfacs)
     vec = K.stack_states(psis)
     if mode == "improved":
         vec_new = _ground_state_multi(hmv, vec)
@@ -133,35 +159,49 @@ def _site_step(
         )
     psis_new = tuple(K.split_states(vec_new, shapes))
     if last:
-        return psis_new, None, None
+        return psis_new, None, None, None
 
     if forward:
         qr_out = [K.qr_right(p) for p in psis_new]
         sites_out = tuple(q for q, _ in qr_out)
         svals = tuple(s for _, s in qr_out)
-        blocks_new = tuple(
+        raw = [
             K.renorm_block_left(L, sites_out[i], W, sites_out[j])
             for (i, j), L, W in zip(pairs, Ls, Ws)
-        )
-        env_blocks = Rs
+        ]
+        env_blocks, l_env = Rs, lRs
+        l_sys = lLs
     else:
         qr_out = [K.lq_left(p) for p in psis_new]
         svals = tuple(s for s, _ in qr_out)
         sites_out = tuple(b for _, b in qr_out)
-        blocks_new = tuple(
+        raw = [
             K.renorm_block_right(R, sites_out[i], W, sites_out[j])
             for (i, j), R, W in zip(pairs, Rs, Ws)
-        )
-        env_blocks = Ls
+        ]
+        env_blocks, l_env = Ls, lLs
+        l_sys = lRs
+    normed = [_normalize_block(B) for B in raw]
+    blocks_new = tuple(B for B, _ in normed)
+    logs_new = tuple(
+        ls + dl for ls, (_, dl) in zip(l_sys, normed)
+    )
 
     if mode == "improved":
         svals_new = svals
     else:
         sshapes = tuple(s.shape for s in svals)
+        kfacs = tuple(
+            jnp.exp(ln + le) for ln, le in zip(logs_new, l_env)
+        )
         if forward:
-            kmv = _make_kmatvec(pairs, blocks_new, env_blocks, sshapes, nstate, dtype)
+            kmv = _make_kmatvec(
+                pairs, blocks_new, env_blocks, sshapes, nstate, dtype, kfacs
+            )
         else:
-            kmv = _make_kmatvec(pairs, env_blocks, blocks_new, sshapes, nstate, dtype)
+            kmv = _make_kmatvec(
+                pairs, env_blocks, blocks_new, sshapes, nstate, dtype, kfacs
+            )
         svec = krylov_expm(
             kmv,
             K.stack_states(svals),
@@ -181,7 +221,7 @@ def _site_step(
         psi_next = tuple(
             K.absorb_left(nc, s) for s, nc in zip(svals_new, next_cores)
         )
-    return sites_out, psi_next, blocks_new
+    return sites_out, psi_next, blocks_new, logs_new
 
 
 @partial(jax.jit, static_argnames=("pairs", "forward"))
@@ -195,6 +235,17 @@ def _renorm_blocks(blocks, bras, Ws, kets, *, pairs, forward):
     return tuple(
         K.renorm_block_right(B, bras[i], W, kets[j])
         for (i, j), B, W in zip(pairs, blocks, Ws)
+    )
+
+
+@partial(jax.jit, static_argnames=("pairs", "forward"))
+def _renorm_blocks_logged(blocks, logs, bras, Ws, kets, *, pairs, forward):
+    """Normalised block transfer: returns (B̂ tuple, updated log tuple)."""
+    raw = _renorm_blocks(blocks, bras, Ws, kets, pairs=pairs, forward=forward)
+    normed = [_normalize_block(B) for B in raw]
+    return (
+        tuple(B for B, _ in normed),
+        tuple(l + dl for l, (_, dl) in zip(logs, normed)),
     )
 
 
@@ -241,32 +292,42 @@ class TDVPEngine:
             dio.ones((1, 1, 1), self.dtype) for _ in self.pairs
         )
 
+    def _zero_logs(self) -> tuple[jax.Array, ...]:
+        return tuple(
+            dio.put(np.asarray(0.0, np.float32), jnp.float32)
+            for _ in self.pairs
+        )
+
     def _site_W(self, p: int) -> tuple[jax.Array, ...]:
         return tuple(self.W[pair][p] for pair in self.pairs)
 
     def _psis(self, p: int) -> tuple[jax.Array, ...]:
         return tuple(self.cores[i][p] for i in range(self.nstate))
 
-    def build_right_env_stack(self) -> list[tuple[jax.Array, ...]]:
-        """[trivial, R(N−1..), …, R(1..)] — pop order matches a → sweep."""
-        stack = [self._trivial_block()]
+    def build_right_env_stack(self) -> list[tuple]:
+        """[trivial, R(N−1..), …, R(1..)] — pop order matches a → sweep.
+
+        Entries are (normalised blocks, log-scales)."""
+        stack = [(self._trivial_block(), self._zero_logs())]
         for p in range(self.nsite - 1, 0, -1):
             sites = self._psis(p)
+            blocks, logs = stack[-1]
             stack.append(
-                _renorm_blocks(
-                    stack[-1], sites, self._site_W(p), sites,
+                _renorm_blocks_logged(
+                    blocks, logs, sites, self._site_W(p), sites,
                     pairs=self.pairs, forward=False,
                 )
             )
         return stack
 
-    def build_left_env_stack(self) -> list[tuple[jax.Array, ...]]:
-        stack = [self._trivial_block()]
+    def build_left_env_stack(self) -> list[tuple]:
+        stack = [(self._trivial_block(), self._zero_logs())]
         for p in range(0, self.nsite - 1):
             sites = self._psis(p)
+            blocks, logs = stack[-1]
             stack.append(
-                _renorm_blocks(
-                    stack[-1], sites, self._site_W(p), sites,
+                _renorm_blocks_logged(
+                    blocks, logs, sites, self._site_W(p), sites,
                     pairs=self.pairs, forward=True,
                 )
             )
@@ -282,20 +343,22 @@ class TDVPEngine:
                 else self.build_left_env_stack()
             )
         env_stack = self.env_stack
-        sys_stack = [self._trivial_block()]
+        sys_stack = [(self._trivial_block(), self._zero_logs())]
         order = (
             range(self.nsite)
             if forward
             else range(self.nsite - 1, -1, -1)
         )
-        sys_blocks = sys_stack[0]
+        sys_blocks, sys_logs = sys_stack[0]
         for p in order:
-            env_blocks = env_stack.pop()
+            env_blocks, env_logs = env_stack.pop()
             last = p == (self.nsite - 1 if forward else 0)
             nxt = None if last else self._psis(p + 1 if forward else p - 1)
             Ls = sys_blocks if forward else env_blocks
             Rs = env_blocks if forward else sys_blocks
-            sites_out, psi_next, blocks_new = _site_step(
+            lLs = sys_logs if forward else env_logs
+            lRs = env_logs if forward else sys_logs
+            sites_out, psi_next, blocks_new, logs_new = _site_step(
                 self._psis(p),
                 nxt,
                 Ls,
@@ -303,6 +366,8 @@ class TDVPEngine:
                 Rs,
                 scale,
                 cfg.thresh_exp,
+                lLs,
+                lRs,
                 pairs=self.pairs,
                 nstate=self.nstate,
                 mode=mode,
@@ -318,16 +383,16 @@ class TDVPEngine:
                 q = p + 1 if forward else p - 1
                 for i in range(self.nstate):
                     self.cores[i][q] = psi_next[i]
-                sys_blocks = blocks_new
-                sys_stack.append(blocks_new)
+                sys_blocks, sys_logs = blocks_new, logs_new
+                sys_stack.append((blocks_new, logs_new))
         self.env_stack = sys_stack
 
     # ------------------------------------------------ adaptive (a1TDVP)
-    def _evolve_psis(self, psis, Ls, Ws, Rs, scale, mode):
+    def _evolve_psis(self, psis, Ls, Ws, Rs, scale, mode, lLs=None, lRs=None):
         """Krylov-evolve the stacked site tensors (no gauge move)."""
         cfg = self.config
-        out, _, _ = _site_step(
-            psis, None, Ls, Ws, Rs, scale, cfg.thresh_exp,
+        out, _, _, _ = _site_step(
+            psis, None, Ls, Ws, Rs, scale, cfg.thresh_exp, lLs, lRs,
             pairs=self.pairs, nstate=self.nstate, mode=mode,
             conserve_norm=cfg.conserve_norm,
             arnoldi=cfg.integrator == "arnoldi",
@@ -335,11 +400,13 @@ class TDVPEngine:
         )
         return out
 
-    def _heff_all(self, psis, Ls, Ws, Rs):
+    def _heff_all(self, psis, Ls, Ws, Rs, facs=None):
         """H_eff·ψ per output state (for the enrichment residual)."""
         sigs = [None] * self.nstate
-        for (i, j), L, W, R in zip(self.pairs, Ls, Ws, Rs):
+        for q, ((i, j), L, W, R) in enumerate(zip(self.pairs, Ls, Ws, Rs)):
             term = K.heff_apply(L, W, R, psis[j])
+            if facs is not None:
+                term = term * facs[q].astype(term.dtype)
             sigs[i] = term if sigs[i] is None else sigs[i] + term
         for i in range(self.nstate):
             if sigs[i] is None:
@@ -364,24 +431,29 @@ class TDVPEngine:
                 else self.build_left_env_stack()
             )
         env_stack = self.env_stack
-        sys_stack = [self._trivial_block()]
+        sys_stack = [(self._trivial_block(), self._zero_logs())]
         order = (
             range(self.nsite) if forward else range(self.nsite - 1, -1, -1)
         )
-        sys_blocks = sys_stack[0]
+        sys_blocks, sys_logs = sys_stack[0]
         for p in order:
-            env_blocks = env_stack.pop()
+            env_blocks, env_logs = env_stack.pop()
             last = p == (self.nsite - 1 if forward else 0)
             Ls = sys_blocks if forward else env_blocks
             Rs = env_blocks if forward else sys_blocks
+            lLs = sys_logs if forward else env_logs
+            lRs = env_logs if forward else sys_logs
+            hfacs = tuple(jnp.exp(a + b) for a, b in zip(lLs, lRs))
             Ws = self._site_W(p)
-            psis_new = self._evolve_psis(self._psis(p), Ls, Ws, Rs, scale, mode)
+            psis_new = self._evolve_psis(
+                self._psis(p), Ls, Ws, Rs, scale, mode, lLs, lRs
+            )
             if last:
                 for i in range(self.nstate):
                     self.cores[i][p] = psis_new[i]
                 break
             q = p + 1 if forward else p - 1
-            hpsis = self._heff_all(psis_new, Ls, Ws, Rs)
+            hpsis = self._heff_all(psis_new, Ls, Ws, Rs, hfacs)
             a_sites, sigs = [], []
             for i in range(self.nstate):
                 psi, hpsi = psis_new[i], hpsis[i]
@@ -392,7 +464,7 @@ class TDVPEngine:
                 else:
                     mat = jnp.transpose(psi, (2, 1, 0)).reshape(r * n, l)
                     hmat = jnp.transpose(hpsi, (2, 1, 0)).reshape(r * n, l)
-                qm, sig = jnp.linalg.qr(mat)
+                qm, sig = K.thin_qr(mat)
                 k = qm.shape[1]
                 room = min(cfg.adaptive_Dmax, mat.shape[0]) - k
                 if room > 0:
@@ -415,17 +487,21 @@ class TDVPEngine:
                         jnp.transpose(qm.reshape(r, n, -1), (2, 1, 0))
                     )
                     sigs.append(sig.T)  # (l, k')
-            blocks_new = _renorm_blocks(
-                sys_blocks, tuple(a_sites), Ws, tuple(a_sites),
+            blocks_new, logs_new = _renorm_blocks_logged(
+                sys_blocks, sys_logs, tuple(a_sites), Ws, tuple(a_sites),
                 pairs=self.pairs, forward=forward,
             )
             # backward bond propagation, all states stacked (cross-couplings)
             if mode != "improved":
                 kmv_L = blocks_new if forward else env_blocks
                 kmv_R = env_blocks if forward else blocks_new
+                kfacs = tuple(
+                    jnp.exp(a + b) for a, b in zip(logs_new, env_logs)
+                )
                 sshapes = tuple(sg.shape for sg in sigs)
                 kmv = _make_kmatvec(
-                    self.pairs, kmv_L, kmv_R, sshapes, self.nstate, self.dtype
+                    self.pairs, kmv_L, kmv_R, sshapes, self.nstate,
+                    self.dtype, kfacs,
                 )
                 svec = krylov_expm(
                     kmv, K.stack_states(sigs), -scale, cfg.thresh_exp,
@@ -466,12 +542,12 @@ class TDVPEngine:
                     self.cores[i][q] = K.absorb_right(sig, self.cores[i][q])
                 else:
                     self.cores[i][q] = K.absorb_left(self.cores[i][q], sig)
-            blocks_new = _renorm_blocks(
-                sys_blocks, tuple(a_sites), Ws, tuple(a_sites),
+            blocks_new, logs_new = _renorm_blocks_logged(
+                sys_blocks, sys_logs, tuple(a_sites), Ws, tuple(a_sites),
                 pairs=self.pairs, forward=forward,
             )
-            sys_blocks = blocks_new
-            sys_stack.append(blocks_new)
+            sys_blocks, sys_logs = blocks_new, logs_new
+            sys_stack.append((blocks_new, logs_new))
         self.env_stack = sys_stack
 
     def propagate(
@@ -581,20 +657,30 @@ class TDVPEngine:
                 )
                 for pair in pairs
             }
-        # Right environments over sites N-1..1 for this operator.
+        # Right environments over sites N-1..1 (log-normalised so long
+        # chains stay inside the float32 range on TPU).
         blocks = tuple(dio.ones((1, 1, 1), self.dtype) for _ in pairs)
+        logs = [
+            dio.put(np.asarray(0.0, np.float32), jnp.float32) for _ in pairs
+        ]
         for p in range(self.nsite - 1, 0, -1):
             sites = self._psis(p)
-            blocks = tuple(
-                K.renorm_block_right(B, sites[pair[0]], W[pair][p], sites[pair[1]])
-                for pair, B in zip(pairs, blocks)
-            )
+            new = []
+            for q, (pair, B) in enumerate(zip(pairs, blocks)):
+                raw = K.renorm_block_right(
+                    B, sites[pair[0]], W[pair][p], sites[pair[1]]
+                )
+                Bn, dl = _normalize_block(raw)
+                logs[q] = logs[q] + dl
+                new.append(Bn)
+            blocks = tuple(new)
         triv = dio.ones((1, 1, 1), self.dtype)
         val = 0.0 + 0.0j
-        for pair, R in zip(pairs, blocks):
+        for q, (pair, R) in enumerate(zip(pairs, blocks)):
             i, j = pair
             sig = K.heff_apply(triv, W[pair][0], R, self.cores[j][0])
-            val += dio.vdot(self.cores[i][0], sig)
+            fac = float(np.asarray(dio.fetch(jnp.exp(logs[q]))))
+            val += dio.vdot(self.cores[i][0], sig) * fac
         return val
 
     def autocorr(self) -> complex:

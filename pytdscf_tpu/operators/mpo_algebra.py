@@ -227,6 +227,18 @@ def mpo_balance(cores: Cores, nsweep: int = 3) -> Cores:
             t = np.where((ra > 0) & (rb > 0), t, 1.0)
             cores[i] = a * t
             cores[i + 1] = b / t.reshape(d, *([1] * (b.ndim - 1)))
+    # Global scalar equalisation: scale every core to the geometric-mean
+    # Frobenius norm.  Per-core scalars a_i with Π a_i = 1 leave the
+    # operator invariant, and a_i = g/‖W_i‖ telescopes exactly — without
+    # it, hundreds-of-sites MPOs accumulate core norms beyond the float32
+    # range on TPU.
+    lognorms = np.array([
+        np.log(max(np.linalg.norm(c), 1e-300)) for c in cores
+    ])
+    g = lognorms.mean()
+    cores = [
+        c * np.exp(g - ln) for c, ln in zip(cores, lognorms)
+    ]
     return cores
 
 

@@ -182,12 +182,10 @@ class SumOfProducts:
                 )
             else:
                 merged[key] = OpProduct(t.coef, t.ops)
-        out = []
-        for t in merged.values():
-            if isinstance(t.coef, numbers.Number) and t.coef == 0:
-                continue
-            out.append(t)
-        return SumOfProducts(out)
+        # zero-coefficient terms are kept: they commonly carry spectator
+        # identity sites (the reference's ``0.0 * eye`` idiom) that define
+        # the chain length for AssignManager.
+        return SumOfProducts(list(merged.values()))
 
 
 class AssignManager:

@@ -251,6 +251,9 @@ class Simulator:
             phys_dims = [
                 model.basinfo.get_nprim(istate, d) for d in range(ndof)
             ]
+            if model.subspace_inds:
+                for site, inds in model.subspace_inds.items():
+                    phys_dims[site] = len(inds)
             if model.init_HartreeProduct is not None:
                 vecs = [
                     np.asarray(v, dtype=complex)
@@ -294,6 +297,22 @@ class Simulator:
             )
         return cores
 
+    def _prepare_primints(self):
+        """Build / cache primitive-integral tables (reference
+        ``get_primitive_integrals``, ``simulator_cls.py:469-489``)."""
+        if getattr(self.model, "ints_prim_file", None) is None:
+            return None
+        import os as _os
+
+        from pytdscf_tpu.basis.primints import PrimInts
+
+        path = self.model.ints_prim_file
+        if _os.path.exists(path):
+            return PrimInts.load(path)
+        ints = PrimInts(self.model)
+        ints.save(path)
+        return ints
+
     def _save(self, engine, jobname: str, ext: str) -> None:
         path = f"wf_{self.jobname}{ext}.pkl"
         payload = engine.to_numpy()
@@ -326,6 +345,10 @@ class Simulator:
         populations_per_step: int = 1,
     ) -> tuple[Any, WaveFunction]:
         logger = get_logger(config.jobname, self.verbose)
+        self._prepare_primints()
+        from pytdscf_tpu.diagnostics import Diagnostics
+
+        diag = Diagnostics()
         engine = self._initial_engine(config, restart, loadfile_ext)
         props = Properties(
             engine,
@@ -337,7 +360,8 @@ class Simulator:
         self._save(engine, config.jobname, savefile_ext)
         logger.info(f"Start initial step  0.000 [{config.display_time_unit}]")
         for istep in range(maxstep):
-            props.get_properties(
+            with diag.timer("props"):
+                props.get_properties(
                 autocorr=autocorr,
                 energy=energy,
                 norm=norm,
@@ -348,7 +372,7 @@ class Simulator:
                 norm_per_step=norm_per_step,
                 populations_per_step=populations_per_step,
                 observables_per_step=observables_per_step,
-            )
+                )
             props.export_properties(
                 autocorr_per_step=autocorr_per_step,
                 populations_per_step=populations_per_step,
@@ -356,19 +380,21 @@ class Simulator:
             )
             if istep % backup_interval == backup_interval - 1:
                 self._save(engine, config.jobname, savefile_ext)
-            engine.propagate(
-                dt_au,
-                one_gate_to_apply=self.model.one_gate_to_apply,
-                kraus_op=self.model.kraus_op,
-            )
+            with diag.timer("sweep"):
+                engine.propagate(
+                    dt_au,
+                    one_gate_to_apply=self.model.one_gate_to_apply,
+                    kraus_op=self.model.kraus_op,
+                )
+            diag.count("steps")
             props.update(dt_au)
             if istep % 100 == 1 and self.verbose > 1:
                 logger.info(
                     f"End {istep - 1:5d} step; propagated "
                     f"{props.get_time_display():8.3f} "
-                    f"[{config.display_time_unit}]"
+                    f"[{config.display_time_unit}]  | {diag.report()}"
                 )
-        logger.info("End simulation and save wavefunction")
+        logger.info(f"End simulation and save wavefunction | {diag.report()}")
         self._save(engine, config.jobname, savefile_ext)
         props.close()
         return props.energy, WaveFunction(engine, self.model)
