@@ -909,5 +909,39 @@ class TDVPEngine:
     def invalidate_env(self) -> None:
         self.env_stack = None
 
+    # ------------------------------------------------------- diagnostics
+    def contract_all(self, istate: int = 0) -> np.ndarray:
+        """Full dense wavefunction tensor (debugging; reference
+        ``contract_all_superblock``, ``_mps_cls.py:3633``)."""
+        out = dio.fetch(self.cores[istate][0])  # (1, n0, r)
+        for p in range(1, self.nsite):
+            nxt = dio.fetch(self.cores[istate][p])
+            out = np.einsum("...r,rns->...ns", out, nxt)
+        return out[0, ..., 0]
+
+    def distance(self, other: "TDVPEngine") -> float:
+        """‖Ψ−Φ‖ via overlaps (reference ``distance_MPS``,
+        ``_mps_cls.py:2950``)."""
+        n1 = sum(self.pop_states())
+        n2 = sum(other.pop_states())
+        ov = 0.0 + 0.0j
+        for i in range(self.nstate):
+            S = dio.ones((1, 1), self.dtype)
+            for p in range(self.nsite):
+                S = K.ovlp_left_conj(S, self.cores[i][p], other.cores[i][p])
+            ov += dio.fetch(S)[0, 0]
+        return float(np.sqrt(max(n1 + n2 - 2.0 * ov.real, 0.0)))
+
+    def grid_pop(self, psite: int, istate: int = 0) -> np.ndarray:
+        """Population per grid/basis index at one site (reference
+        ``grid_pop``, ``_mps_mpo.py:1023``)."""
+        legs = [0] * (psite + 1)
+        legs[psite] = 1 if self.config.space == "liouville" else 1
+        if self.config.space == "liouville":
+            rho = self.reduced_density_liouville(tuple(legs[:-1] + [2]), istate)
+            return np.real(np.diag(rho))
+        rho = self.reduced_density(tuple(legs[:-1] + [2]), istate)
+        return np.real(np.diag(rho))
+
     def to_numpy(self) -> list[list[np.ndarray]]:
         return [[dio.fetch(c) for c in state] for state in self.cores]
