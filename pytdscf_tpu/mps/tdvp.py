@@ -909,6 +909,31 @@ class TDVPEngine:
     def invalidate_env(self) -> None:
         self.env_stack = None
 
+    def set_hamiltonian(self, hamiltonian) -> None:
+        """Swap the Hamiltonian (time-dependent drives; reference
+        ``build_td_hamiltonian`` / ``doTDHamil``).  Refuses silently-mismatched
+        state-pair structure; environments are rebuilt on the next sweep."""
+        fused = hamiltonian.fused_mpo(self.phys_dims)
+        pairs = tuple(
+            (i, j)
+            for i in range(hamiltonian.nstate)
+            for j in range(hamiltonian.nstate)
+            if fused[i][j] is not None
+        )
+        if pairs != self.pairs:
+            raise ValueError(
+                f"TD Hamiltonian changed the state-pair structure: "
+                f"{pairs} != {self.pairs}"
+            )
+        self.hamiltonian = hamiltonian
+        self.W = {
+            pair: tuple(
+                dio.put(c, self.dtype) for c in fused[pair[0]][pair[1]]
+            )
+            for pair in self.pairs
+        }
+        self.invalidate_env()
+
     # ------------------------------------------------------- diagnostics
     def contract_all(self, istate: int = 0) -> np.ndarray:
         """Full dense wavefunction tensor (debugging; reference

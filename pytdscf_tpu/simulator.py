@@ -380,6 +380,10 @@ class Simulator:
             )
             if istep % backup_interval == backup_interval - 1:
                 self._save(engine, config.jobname, savefile_ext)
+            if self.model.build_td_hamiltonian is not None:
+                engine.set_hamiltonian(
+                    self.model.build_td_hamiltonian(props.time + dt_au / 2)
+                )
             with diag.timer("sweep"):
                 engine.propagate(
                     dt_au,
