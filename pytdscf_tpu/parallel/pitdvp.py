@@ -80,8 +80,11 @@ def _bond_evolve_jit(L, R, sig, scale, kfac, thresh, max_dim):
 
 
 def _pinv(sig: jax.Array, eps: float) -> jax.Array:
+    """Tikhonov-regularised pseudo-inverse with the regularisation scaled
+    to the leading singular value (reference ``multiply_sigvec_pinv``)."""
     u, s, vh = jnp.linalg.svd(sig, full_matrices=False)
-    s_inv = s / (s * s + eps * eps)
+    e = eps * jnp.maximum(s[0], 1e-300)
+    s_inv = s / (s * s + e * e)
     return (vh.conj().T * s_inv.astype(sig.dtype)) @ u.conj().T
 
 
@@ -310,7 +313,12 @@ class PITDVP:
         sg2 = self._evolve_bond(sg2, LbB, lL2 + dll, RbN, lR2 + dlr2, scale)
         u, s, vh = jnp.linalg.svd(sg2, full_matrices=False)
         s_host = np.asarray(dio.fetch(s))
-        keep = int(np.sum(s_host > 1e-13 * max(s_host[0], 1e-300)))
+        # truncate noise channels aggressively — their pseudo-inverse
+        # amplifies garbage (reference uses p_svd for the parallel joint,
+        # ``truncate_sigvec``); channels below ~100·epsrho carry less
+        # amplitude than the σ⁺ regularisation error they would inject
+        cut = max(cfg.adaptive_p_svd, 100.0 * cfg.epsrho)
+        keep = int(np.sum(s_host > cut * max(s_host[0], 1e-300)))
         keep = max(min(keep, max_bond), 1)
         self.cores[pL] = dio.jeinsum(
             "lnk,km->lnm", self.cores[pL], u[:, :keep]
