@@ -115,3 +115,40 @@ def test_plotting(tmp_path):
     assert (tmp_path / "h.png").exists()
     anim_density_matrix(rho, filename=str(tmp_path / "a.gif"))
     assert (tmp_path / "a.gif").exists()
+
+
+def test_minfo_roundtrip(tmp_path):
+    from pytdscf_tpu.util.minfo import minfo_to_gout, read_minfo
+
+    sample = """[ Atomic Data ]
+3
+O, 8, 1.59994E+01, 0.00000E+00, 0.00000E+00, 1.20000E-01
+H, 1, 1.00784E+00, 0.00000E+00, 7.50000E-01, -4.80000E-01
+H, 1, 1.00784E+00, 0.00000E+00, -7.50000E-01, -4.80000E-01
+
+Vibrational Frequency
+3
+1.64900E+03, 3.83200E+03, 3.94300E+03
+Vibrational vector
+Mode 1
+0.00000E+00, 0.00000E+00, 7.00000E-02
+0.00000E+00, 4.30000E-01, -5.60000E-01
+0.00000E+00, -4.30000E-01, -5.60000E-01
+Mode 2
+0.00000E+00, 0.00000E+00, 5.00000E-02
+0.00000E+00, 5.80000E-01, 4.00000E-01
+0.00000E+00, -5.80000E-01, 4.00000E-01
+Mode 3
+0.00000E+00, 7.00000E-02, 0.00000E+00
+0.00000E+00, -5.60000E-01, -4.30000E-01
+0.00000E+00, -5.60000E-01, 4.30000E-01
+"""
+    path = tmp_path / "h2o.minfo"
+    path.write_text(sample)
+    d = read_minfo(str(path))
+    assert d["atoms"] == ["O", "H", "H"]
+    assert d["freqs_cm1"][1] == pytest.approx(3832.0)
+    assert d["vectors"].shape == (3, 3, 3)
+    out = tmp_path / "g.log"
+    minfo_to_gout(str(path), str(out))
+    assert "Frequencies --" in out.read_text()
