@@ -6,6 +6,17 @@ Mirrors the reference's ``poly-MPO-H2O-*`` notebook workflow on the bundled
     python examples/h2o_ir_spectrum.py
 """
 
+import os
+
+import jax
+
+# parity-precision (complex128) workflow — run on CPU unless the user
+# explicitly overrides PYTDSCF_PLATFORM (the ambient JAX_PLATFORMS of the
+# environment may point at a TPU without complex128 support)
+jax.config.update(
+    "jax_platforms", os.environ.get("PYTDSCF_PLATFORM", "cpu")
+)
+
 import math
 
 import numpy as np

@@ -21,3 +21,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound XLA:CPU compile-cache growth over the full suite (each module
+    traces many distinct shapes; clearing between modules keeps the
+    single-process suite lean)."""
+    yield
+    jax.clear_caches()
