@@ -74,6 +74,7 @@ def main() -> None:
     config = Config(
         jobname="bench",
         thresh_exp=1.0e-06 if on_tpu else 1.0e-09,
+        max_krylov=int(os.environ.get("BENCH_KRYLOV", "10")),
         dtype=dtype,
     )
     engine = TDVPEngine(cores, ham, config)
