@@ -164,6 +164,43 @@ class TensorHamiltonian(HamiltonianMixin):
         self._fused_cache.clear()
         self._subspace_inds = subspace_inds
 
+    def interaction_picture(self, U: "TensorHamiltonian") -> None:
+        """In-place H ← U†·H·U with a site-local (bond-1) unitary MPO
+        (reference ``hamiltonian_cls.py:754-797``)."""
+        if self.nstate != 1 or U.nstate != 1:
+            raise NotImplementedError("interaction picture: one state only")
+        u_sites: dict[int, np.ndarray] = {}
+        for term in U.terms[0][0]:
+            for site, core in term.items():
+                if core.ndim == 3:
+                    a, n, b = core.shape
+                    mat = np.zeros((n, n), complex)
+                    np.fill_diagonal(mat, core[0, :, 0])
+                elif core.shape[0] == 1 and core.shape[-1] == 1:
+                    mat = core[0, :, :, 0]
+                else:
+                    raise ValueError(
+                        "interaction picture needs bond-1 unitary cores"
+                    )
+                u_sites[site] = np.asarray(mat)
+        for term in self.terms[0][0]:
+            for site, core in list(term.items()):
+                if site not in u_sites:
+                    continue
+                u = u_sites[site]
+                dense = core
+                if dense.ndim == 3:
+                    a, n, b = dense.shape
+                    full = np.zeros((a, n, n, b), complex)
+                    idx = np.arange(n)
+                    full[:, idx, idx, :] = dense
+                    dense = full
+                # (U†HU)[N,M] = Σ conj(U[n,N]) H[n,m] U[m,M]
+                term[site] = np.einsum(
+                    "nN,anmb,mM->aNMb", u.conj(), dense, u, optimize=True
+                )
+        self._fused_cache.clear()
+
     def apply_backend(self, backend: Literal["jax", "numpy"]) -> None:
         """API-parity no-op: the engine owns device placement."""
         self.backend = backend

@@ -66,3 +66,41 @@ def test_tensor_operator_decompose_roundtrip():
     cores = top.decompose()
     recon = np.einsum("aib,bjc,ckd->ijk", *cores)
     np.testing.assert_allclose(recon, tensor, atol=1e-12)
+
+
+def test_interaction_picture():
+    """H ← U†HU with site-local unitaries equals the dense sandwich."""
+    import numpy as np
+    from scipy.stats import ortho_group
+
+    from pytdscf_tpu.operators.hamiltonian import TensorHamiltonian
+    from pytdscf_tpu.operators.mpo_algebra import mpo_to_dense
+    from pytdscf_tpu.operators.tensor_op import TensorOperator
+
+    rng = np.random.default_rng(2)
+    n = 3
+    h1 = rng.normal(size=(n, n)); h1 = h1 + h1.T
+    h2 = rng.normal(size=(n, n)); h2 = h2 + h2.T
+    pot = {
+        (0, 0): TensorOperator(mpo=[h1[None, :, :, None]], legs=(0, 0)),
+        (0, 0, 1, 1): TensorOperator(
+            mpo=[h2[None, :, :, None], h2[None, :, :, None]],
+            legs=(0, 0, 1, 1),
+        ),
+    }
+    ham = TensorHamiltonian(2, [[pot]], kinetic=None)
+    dense_before = mpo_to_dense(ham.fused_mpo([n, n])[0][0])
+
+    u0 = ortho_group.rvs(n, random_state=1)
+    u1 = ortho_group.rvs(n, random_state=2)
+    upot = {
+        (0, 0): TensorOperator(mpo=[u0[None, :, :, None]], legs=(0, 0)),
+        (1, 1): TensorOperator(mpo=[u1[None, :, :, None]], legs=(1, 1)),
+    }
+    U = TensorHamiltonian(2, [[upot]], kinetic=None)
+    ham.interaction_picture(U)
+    dense_after = mpo_to_dense(ham.fused_mpo([n, n])[0][0])
+    big_u = np.kron(u0, u1)
+    np.testing.assert_allclose(
+        dense_after, big_u.conj().T @ dense_before @ big_u, atol=1e-12
+    )
