@@ -47,7 +47,7 @@ def main() -> None:
 
     n_left = int(os.environ.get("BENCH_NL", "61"))
     n_right = int(os.environ.get("BENCH_NR", "122"))
-    steps = int(os.environ.get("BENCH_STEPS", "3"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
     bond = int(os.environ.get("BENCH_BOND", "30"))
 
     platform = jax.devices()[0].platform
