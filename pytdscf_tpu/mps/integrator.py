@@ -37,8 +37,13 @@ def krylov_expm(
     max_dim: int = 20,
     conserve_norm: bool = True,
     arnoldi: bool = False,
-) -> jax.Array:
-    """Approximate ``exp(scale·H)·v_init`` in a Krylov subspace (traceable)."""
+    return_iterations: bool = False,
+):
+    """Approximate ``exp(scale·H)·v_init`` in a Krylov subspace (traceable).
+
+    With ``return_iterations`` also returns the Krylov dimension used (the
+    reference's per-site SIL telemetry, ``_helper._Debug.niter_krylov``).
+    """
     n = v_init.shape[0]
     k_max = min(max_dim, n)
     dtype = v_init.dtype
@@ -46,13 +51,21 @@ def krylov_expm(
     v0 = v_init / beta0
 
     if arnoldi:
-        psi_next = _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype)
+        psi_next, k_used = _arnoldi_loop(
+            matvec, v0, scale, thresh, k_max, n, dtype
+        )
     else:
-        psi_next = _lanczos_loop(matvec, v0, scale, thresh, k_max, n, dtype)
+        psi_next, k_used = _lanczos_loop(
+            matvec, v0, scale, thresh, k_max, n, dtype
+        )
 
     if conserve_norm:
-        return psi_next / jnp.linalg.norm(psi_next)
-    return psi_next * beta0
+        out = psi_next / jnp.linalg.norm(psi_next)
+    else:
+        out = psi_next * beta0
+    if return_iterations:
+        return out, k_used
+    return out
 
 
 def _lanczos_loop(matvec, v0, scale, thresh, k_max, n, dtype):
@@ -104,8 +117,8 @@ def _lanczos_loop(matvec, v0, scale, thresh, k_max, n, dtype):
         return V, alpha, beta, k + 1, psi_next, done
 
     carry = (V, alpha, beta, jnp.asarray(0), psi0, jnp.asarray(False))
-    *_, psi_next, _ = jax.lax.while_loop(cond, body, carry)
-    return psi_next
+    *_, k_fin, psi_next, _ = jax.lax.while_loop(cond, body, carry)
+    return psi_next, k_fin
 
 
 def _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype):
@@ -139,8 +152,8 @@ def _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype):
         return V, H, k + 1, psi_next, done
 
     carry = (V, H, jnp.asarray(0), psi0, jnp.asarray(False))
-    *_, psi_next, _ = jax.lax.while_loop(cond, body, carry)
-    return psi_next
+    *_, k_fin, psi_next, _ = jax.lax.while_loop(cond, body, carry)
+    return psi_next, k_fin
 
 
 def lanczos_ground_state(

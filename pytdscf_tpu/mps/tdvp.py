@@ -145,10 +145,11 @@ def _site_step(
     hfacs = tuple(jnp.exp(lL + lR) for lL, lR in zip(lLs, lRs))
     hmv = _make_hmatvec(pairs, Ls, Ws, Rs, shapes, nstate, dtype, hfacs)
     vec = K.stack_states(psis)
+    kry_count = jnp.asarray(0, jnp.int32)
     if mode == "improved":
         vec_new = _ground_state_multi(hmv, vec)
     else:
-        vec_new = krylov_expm(
+        vec_new, k_used = krylov_expm(
             hmv,
             vec,
             scale,
@@ -156,10 +157,12 @@ def _site_step(
             max_dim=max_dim,
             conserve_norm=conserve_norm or mode == "imag",
             arnoldi=arnoldi,
+            return_iterations=True,
         )
+        kry_count = kry_count + k_used.astype(jnp.int32)
     psis_new = tuple(K.split_states(vec_new, shapes))
     if last:
-        return psis_new, None, None, None
+        return psis_new, None, None, None, kry_count
 
     if forward:
         qr_out = [K.qr_right(p) for p in psis_new]
@@ -202,7 +205,7 @@ def _site_step(
             kmv = _make_kmatvec(
                 pairs, env_blocks, blocks_new, sshapes, nstate, dtype, kfacs
             )
-        svec = krylov_expm(
+        svec, k_used2 = krylov_expm(
             kmv,
             K.stack_states(svals),
             -scale,
@@ -210,7 +213,9 @@ def _site_step(
             max_dim=max_dim,
             conserve_norm=conserve_norm or mode == "imag",
             arnoldi=arnoldi,
+            return_iterations=True,
         )
+        kry_count = kry_count + k_used2.astype(jnp.int32)
         svals_new = tuple(K.split_states(svec, sshapes))
 
     if forward:
@@ -221,7 +226,7 @@ def _site_step(
         psi_next = tuple(
             K.absorb_left(nc, s) for s, nc in zip(svals_new, next_cores)
         )
-    return sites_out, psi_next, blocks_new, logs_new
+    return sites_out, psi_next, blocks_new, logs_new, kry_count
 
 
 @partial(jax.jit, static_argnames=("pairs", "forward"))
@@ -285,6 +290,9 @@ class TDVPEngine:
         #: env stack: blocks accumulated by the previous half-sweep; popping
         #: yields the environment for the next site (reference op_sys_sites).
         self.env_stack: list[tuple[jax.Array, ...]] | None = None
+        #: per-site Krylov dimension telemetry (device scalars; fetched
+        #: lazily by :meth:`krylov_average` — reference _Debug.niter_krylov)
+        self._kry_counts: list[jax.Array] = []
 
     # ---------------------------------------------------------- helpers
     def _trivial_block(self) -> tuple[jax.Array, ...]:
@@ -358,7 +366,7 @@ class TDVPEngine:
             Rs = env_blocks if forward else sys_blocks
             lLs = sys_logs if forward else env_logs
             lRs = env_logs if forward else sys_logs
-            sites_out, psi_next, blocks_new, logs_new = _site_step(
+            sites_out, psi_next, blocks_new, logs_new, kry = _site_step(
                 self._psis(p),
                 nxt,
                 Ls,
@@ -377,6 +385,7 @@ class TDVPEngine:
                 last=last,
                 forward=forward,
             )
+            self._kry_counts.append(kry)
             for i in range(self.nstate):
                 self.cores[i][p] = sites_out[i]
             if not last:
@@ -391,7 +400,7 @@ class TDVPEngine:
     def _evolve_psis(self, psis, Ls, Ws, Rs, scale, mode, lLs=None, lRs=None):
         """Krylov-evolve the stacked site tensors (no gauge move)."""
         cfg = self.config
-        out, _, _, _ = _site_step(
+        out, _, _, _, _ = _site_step(
             psis, None, Ls, Ws, Rs, scale, cfg.thresh_exp, lLs, lRs,
             pairs=self.pairs, nstate=self.nstate, mode=mode,
             conserve_norm=cfg.conserve_norm,
@@ -935,6 +944,18 @@ class TDVPEngine:
         self.invalidate_env()
 
     # ------------------------------------------------------- diagnostics
+    def krylov_average(self, reset: bool = True) -> float:
+        """Mean Krylov dimension per local exponential since the last call
+        (the reference's AVG-SIL-iterations telemetry,
+        ``_helper._Debug.niter_krylov``)."""
+        if not self._kry_counts:
+            return 0.0
+        total = float(np.asarray(dio.fetch(sum(self._kry_counts))))
+        avg = total / (2 * len(self._kry_counts))
+        if reset:
+            self._kry_counts.clear()
+        return avg
+
     def contract_all(self, istate: int = 0) -> np.ndarray:
         """Full dense wavefunction tensor (debugging; reference
         ``contract_all_superblock``, ``_mps_cls.py:3633``)."""

@@ -393,10 +393,15 @@ class Simulator:
             diag.count("steps")
             props.update(dt_au)
             if istep % 100 == 1 and self.verbose > 1:
+                kry = (
+                    f"  AVG Krylov = {engine.krylov_average():.2f}"
+                    if hasattr(engine, "krylov_average")
+                    else ""
+                )
                 logger.info(
                     f"End {istep - 1:5d} step; propagated "
                     f"{props.get_time_display():8.3f} "
-                    f"[{config.display_time_unit}]  | {diag.report()}"
+                    f"[{config.display_time_unit}]  | {diag.report()}{kry}"
                 )
         logger.info(f"End simulation and save wavefunction | {diag.report()}")
         self._save(engine, config.jobname, savefile_ext)
