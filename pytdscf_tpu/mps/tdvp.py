@@ -290,9 +290,11 @@ class TDVPEngine:
         #: env stack: blocks accumulated by the previous half-sweep; popping
         #: yields the environment for the next site (reference op_sys_sites).
         self.env_stack: list[tuple[jax.Array, ...]] | None = None
-        #: per-site Krylov dimension telemetry (device scalars; fetched
-        #: lazily by :meth:`krylov_average` — reference _Debug.niter_krylov)
-        self._kry_counts: list[jax.Array] = []
+        #: per-site Krylov dimension telemetry (running device-side sum,
+        #: fetched lazily by :meth:`krylov_average` — reference
+        #: _Debug.niter_krylov)
+        self._kry_sum: jax.Array | None = None
+        self._kry_n: int = 0
 
     # ---------------------------------------------------------- helpers
     def _trivial_block(self) -> tuple[jax.Array, ...]:
@@ -385,7 +387,8 @@ class TDVPEngine:
                 last=last,
                 forward=forward,
             )
-            self._kry_counts.append(kry)
+            self._kry_sum = kry if self._kry_sum is None else self._kry_sum + kry
+            self._kry_n += 1
             for i in range(self.nstate):
                 self.cores[i][p] = sites_out[i]
             if not last:
@@ -948,12 +951,13 @@ class TDVPEngine:
         """Mean Krylov dimension per local exponential since the last call
         (the reference's AVG-SIL-iterations telemetry,
         ``_helper._Debug.niter_krylov``)."""
-        if not self._kry_counts:
+        if self._kry_n == 0 or self._kry_sum is None:
             return 0.0
-        total = float(np.asarray(dio.fetch(sum(self._kry_counts))))
-        avg = total / (2 * len(self._kry_counts))
+        total = float(np.asarray(dio.fetch(self._kry_sum)))
+        avg = total / (2 * self._kry_n)
         if reset:
-            self._kry_counts.clear()
+            self._kry_sum = None
+            self._kry_n = 0
         return avg
 
     def contract_all(self, istate: int = 0) -> np.ndarray:
