@@ -42,7 +42,11 @@ def krylov_expm(
     """Approximate ``exp(scale·H)·v_init`` in a Krylov subspace (traceable).
 
     With ``return_iterations`` also returns the Krylov dimension used (the
-    reference's per-site SIL telemetry, ``_helper._Debug.niter_krylov``).
+    reference's per-site SIL telemetry, ``_helper._Debug.niter_krylov``) and
+    a boolean flag that is True when the loop exhausted ``max_dim`` WITHOUT
+    meeting ``thresh`` (and without an exact Krylov breakdown) — the case the
+    reference raises on with shrink-dt advice
+    (``/root/reference/pytdscf/_integrator.py:653-655``).
     """
     n = v_init.shape[0]
     k_max = min(max_dim, n)
@@ -51,11 +55,11 @@ def krylov_expm(
     v0 = v_init / beta0
 
     if arnoldi:
-        psi_next, k_used = _arnoldi_loop(
+        psi_next, k_used, bad = _arnoldi_loop(
             matvec, v0, scale, thresh, k_max, n, dtype
         )
     else:
-        psi_next, k_used = _lanczos_loop(
+        psi_next, k_used, bad = _lanczos_loop(
             matvec, v0, scale, thresh, k_max, n, dtype
         )
 
@@ -64,7 +68,7 @@ def krylov_expm(
     else:
         out = psi_next * beta0
     if return_iterations:
-        return out, k_used
+        return out, k_used, bad
     return out
 
 
@@ -90,11 +94,11 @@ def _lanczos_loop(matvec, v0, scale, thresh, k_max, n, dtype):
     idx_o = jnp.arange(k_max - 1)
 
     def cond(carry):
-        _, _, _, k, _, done = carry
+        _, _, _, k, _, _, done = carry
         return ~done
 
     def body(carry):
-        V, alpha, beta, k, psi_prev, _ = carry
+        V, alpha, beta, k, psi_prev, _, _ = carry
         w = matvec(V[k])
         a = jnp.sum(v0_conj * w)
         beta_prev = jnp.where(k > 0, beta[k - 1], 0.0)
@@ -113,12 +117,19 @@ def _lanczos_loop(matvec, v0, scale, thresh, k_max, n, dtype):
         c = expm(scale * T)[:, 0]
         psi_next = c @ V[:k_max]
         err = jnp.linalg.norm(psi_next - psi_prev)
-        done = ((k > 0) & (err < thresh)) | (b < EPS) | (k + 1 >= k_max)
-        return V, alpha, beta, k + 1, psi_next, done
+        conv = (k > 0) & (err < thresh)
+        breakdown = b < EPS
+        capped = k + 1 >= k_max
+        done = conv | breakdown | capped
+        bad = capped & ~conv & ~breakdown
+        return V, alpha, beta, k + 1, psi_next, bad, done
 
-    carry = (V, alpha, beta, jnp.asarray(0), psi0, jnp.asarray(False))
-    *_, k_fin, psi_next, _ = jax.lax.while_loop(cond, body, carry)
-    return psi_next, k_fin
+    carry = (
+        V, alpha, beta, jnp.asarray(0), psi0,
+        jnp.asarray(False), jnp.asarray(False),
+    )
+    *_, k_fin, psi_next, bad, _ = jax.lax.while_loop(cond, body, carry)
+    return psi_next, k_fin, bad
 
 
 def _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype):
@@ -129,11 +140,11 @@ def _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype):
     col = jnp.arange(k_max)[None, :]
 
     def cond(carry):
-        _, _, k, _, done = carry
+        _, _, k, _, _, done = carry
         return ~done
 
     def body(carry):
-        V, H, k, psi_prev, _ = carry
+        V, H, k, psi_prev, _, _ = carry
         w = matvec(V[k])
         # Full Gram–Schmidt (inactive rows are zero — harmless projections).
         h = jnp.einsum("in,n->i", V.conj(), w)
@@ -148,12 +159,18 @@ def _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype):
         c = expm(scale * T)[:, 0]
         psi_next = c @ V[:k_max]
         err = jnp.linalg.norm(psi_next - psi_prev)
-        done = ((k > 0) & (err < thresh)) | (b < EPS) | (k + 1 >= k_max)
-        return V, H, k + 1, psi_next, done
+        conv = (k > 0) & (err < thresh)
+        breakdown = b < EPS
+        capped = k + 1 >= k_max
+        done = conv | breakdown | capped
+        bad = capped & ~conv & ~breakdown
+        return V, H, k + 1, psi_next, bad, done
 
-    carry = (V, H, jnp.asarray(0), psi0, jnp.asarray(False))
-    *_, k_fin, psi_next, _ = jax.lax.while_loop(cond, body, carry)
-    return psi_next, k_fin
+    carry = (
+        V, H, jnp.asarray(0), psi0, jnp.asarray(False), jnp.asarray(False)
+    )
+    *_, k_fin, psi_next, bad, _ = jax.lax.while_loop(cond, body, carry)
+    return psi_next, k_fin, bad
 
 
 def lanczos_ground_state(

@@ -145,11 +145,12 @@ def _site_step(
     hfacs = tuple(jnp.exp(lL + lR) for lL, lR in zip(lLs, lRs))
     hmv = _make_hmatvec(pairs, Ls, Ws, Rs, shapes, nstate, dtype, hfacs)
     vec = K.stack_states(psis)
-    kry_count = jnp.asarray(0, jnp.int32)
+    # telemetry: [Σ Krylov iterations, # krylov_expm calls, # cap-hits]
+    kry_count = jnp.zeros((3,), jnp.int32)
     if mode == "improved":
         vec_new = _ground_state_multi(hmv, vec)
     else:
-        vec_new, k_used = krylov_expm(
+        vec_new, k_used, k_bad = krylov_expm(
             hmv,
             vec,
             scale,
@@ -159,7 +160,10 @@ def _site_step(
             arnoldi=arnoldi,
             return_iterations=True,
         )
-        kry_count = kry_count + k_used.astype(jnp.int32)
+        kry_count = kry_count + jnp.stack(
+            [k_used.astype(jnp.int32), jnp.asarray(1, jnp.int32),
+             k_bad.astype(jnp.int32)]
+        )
     psis_new = tuple(K.split_states(vec_new, shapes))
     if last:
         return psis_new, None, None, None, kry_count
@@ -205,7 +209,7 @@ def _site_step(
             kmv = _make_kmatvec(
                 pairs, env_blocks, blocks_new, sshapes, nstate, dtype, kfacs
             )
-        svec, k_used2 = krylov_expm(
+        svec, k_used2, k_bad2 = krylov_expm(
             kmv,
             K.stack_states(svals),
             -scale,
@@ -215,7 +219,10 @@ def _site_step(
             arnoldi=arnoldi,
             return_iterations=True,
         )
-        kry_count = kry_count + k_used2.astype(jnp.int32)
+        kry_count = kry_count + jnp.stack(
+            [k_used2.astype(jnp.int32), jnp.asarray(1, jnp.int32),
+             k_bad2.astype(jnp.int32)]
+        )
         svals_new = tuple(K.split_states(svec, sshapes))
 
     if forward:
@@ -290,11 +297,11 @@ class TDVPEngine:
         #: env stack: blocks accumulated by the previous half-sweep; popping
         #: yields the environment for the next site (reference op_sys_sites).
         self.env_stack: list[tuple[jax.Array, ...]] | None = None
-        #: per-site Krylov dimension telemetry (running device-side sum,
-        #: fetched lazily by :meth:`krylov_average` — reference
-        #: _Debug.niter_krylov)
+        #: per-site Krylov telemetry: running device-side [Σ iterations,
+        #: # calls, # max-dim cap hits], fetched lazily by
+        #: :meth:`krylov_stats` (reference _Debug.niter_krylov)
         self._kry_sum: jax.Array | None = None
-        self._kry_n: int = 0
+        self._kry_warned = False
 
     # ---------------------------------------------------------- helpers
     def _trivial_block(self) -> tuple[jax.Array, ...]:
@@ -388,7 +395,6 @@ class TDVPEngine:
                 forward=forward,
             )
             self._kry_sum = kry if self._kry_sum is None else self._kry_sum + kry
-            self._kry_n += 1
             for i in range(self.nstate):
                 self.cores[i][p] = sites_out[i]
             if not last:
@@ -591,18 +597,50 @@ class TDVPEngine:
 
     # ------------------------------------------------- open-system channels
     def apply_one_gate(self, gate) -> None:
-        """Apply an MPO gate (zip-up, exact) and re-canonicalise."""
-        fused = gate.fused_mpo(self.phys_dims)
-        for i in range(self.nstate):
-            Ws = fused[i][i]
-            if Ws is None:
-                continue
-            for p in range(self.nsite):
-                W = dio.put(Ws[p], self.dtype)
-                core = self.cores[i][p]
-                new = dio.jeinsum("anmb,lmr->alnbr", W, core)
-                a, l, n, b, r = new.shape
-                self.cores[i][p] = new.reshape(a * l, n, b * r)
+        """Apply one-site gates — a PRODUCT over sites — and re-canonicalise.
+
+        Matches the reference semantics (``_mps_cls.py:2314-2371`` /
+        ``_apply_one_gate_isite:2420``): each term of ``gate`` must be a
+        single one-site bond-1 core; cores on distinct sites compose
+        multiplicatively.  Fusing the terms into one summed MPO (as the
+        Hamiltonian path does) would instead apply the SUM of the gates and
+        grow every bond by the MPO rank each step, so multi-site and
+        duplicate-site gate terms are rejected exactly as the reference
+        asserts."""
+        for i in range(min(self.nstate, gate.nstate)):
+            seen: set[int] = set()
+            for term in gate.terms[i][i]:
+                if len(term) != 1:
+                    raise ValueError(
+                        "one_gate_to_apply terms must each act on ONE site "
+                        f"(got sites {sorted(term)}); contract multi-site "
+                        "gates into the Hamiltonian or a Kraus channel"
+                    )
+                ((site, core),) = term.items()
+                if site in seen:
+                    raise ValueError(
+                        f"multiple gate terms on site {site}: contract the "
+                        "gates in advance (reference apply_one_gate raises "
+                        "likewise)"
+                    )
+                seen.add(site)
+                if core.ndim == 3:
+                    U = np.diag(np.asarray(core)[0, :, 0])
+                elif core.shape[0] == 1 and core.shape[-1] == 1:
+                    U = np.asarray(core)[0, :, :, 0]
+                else:
+                    raise ValueError(
+                        f"gate core on site {site} has bond dimension "
+                        f"{(core.shape[0], core.shape[-1])} != (1, 1)"
+                    )
+                self.cores[i][site] = dio.jeinsum(
+                    "nm,lmr->lnr", dio.put(U, self.dtype), self.cores[i][site]
+                )
+            cj = gate.coupleJ[i][i]
+            if cj not in (0.0, 1.0):
+                self.cores[i][0] = self.cores[i][0] * dio.put(
+                    np.asarray(cj), self.dtype
+                )
         self.canonicalize()
 
     def apply_kraus(self, kraus_op: dict) -> None:
@@ -947,18 +985,39 @@ class TDVPEngine:
         self.invalidate_env()
 
     # ------------------------------------------------------- diagnostics
-    def krylov_average(self, reset: bool = True) -> float:
-        """Mean Krylov dimension per local exponential since the last call
-        (the reference's AVG-SIL-iterations telemetry,
-        ``_helper._Debug.niter_krylov``)."""
-        if self._kry_n == 0 or self._kry_sum is None:
-            return 0.0
-        total = float(np.asarray(dio.fetch(self._kry_sum)))
-        avg = total / (2 * self._kry_n)
+    def krylov_stats(self, reset: bool = True) -> tuple[float, int, int]:
+        """(mean Krylov dim per call, # calls, # max-dim cap hits) since the
+        last call — the reference's AVG-SIL-iterations telemetry
+        (``_helper._Debug.niter_krylov``) plus the non-convergence counter
+        the reference surfaces by raising (``_integrator.py:653-655``).
+
+        The average divides by the ACTUAL call count accumulated on device
+        (the last site of each half-sweep runs one Krylov solve, improved
+        relaxation runs none)."""
+        if self._kry_sum is None:
+            return 0.0, 0, 0
+        total, calls, capped = (
+            int(x) for x in np.asarray(dio.fetch(self._kry_sum))
+        )
         if reset:
             self._kry_sum = None
-            self._kry_n = 0
-        return avg
+        avg = total / calls if calls else 0.0
+        if capped and not self._kry_warned:
+            import warnings
+
+            warnings.warn(
+                f"Krylov exponential hit max_dim={self.config.max_krylov} "
+                f"without reaching thresh_exp={self.config.thresh_exp} in "
+                f"{capped}/{calls} local updates — shrink dt or raise "
+                "max_krylov (reference raises likewise, "
+                "_integrator.py:653-655)"
+            )
+            self._kry_warned = True
+        return avg, calls, capped
+
+    def krylov_average(self, reset: bool = True) -> float:
+        """Mean Krylov dimension per local exponential since the last call."""
+        return self.krylov_stats(reset)[0]
 
     def contract_all(self, istate: int = 0) -> np.ndarray:
         """Full dense wavefunction tensor (debugging; reference

@@ -81,10 +81,19 @@ def _bond_evolve_jit(L, R, sig, scale, kfac, thresh, max_dim):
 
 def _pinv(sig: jax.Array, eps: float) -> jax.Array:
     """Tikhonov-regularised pseudo-inverse with the regularisation scaled
-    to the leading singular value (reference ``multiply_sigvec_pinv``)."""
+    to the leading singular value (reference ``multiply_sigvec_pinv``).
+
+    Singular triplets below the regularisation scale are zeroed outright
+    rather than merely damped: on the TPU backend the null-space columns of
+    near-rank-deficient complex64 SVDs contain garbage (1e9-magnitude
+    entries — see the backend notes in ``mps/kernels.py``), and the Tikhonov
+    weight s/(s²+e²) scales but does not bound those junk vectors.  Channels
+    with s < e carry less amplitude than the σ⁺ regularisation error anyway,
+    so dropping them is the documented-safe regime (singular values + kept
+    columns above the cut remain usable)."""
     u, s, vh = jnp.linalg.svd(sig, full_matrices=False)
     e = eps * jnp.maximum(s[0], 1e-300)
-    s_inv = s / (s * s + e * e)
+    s_inv = jnp.where(s > e, s / (s * s + e * e), 0.0)
     return (vh.conj().T * s_inv.astype(sig.dtype)) @ u.conj().T
 
 

@@ -1,0 +1,620 @@
+"""SPMD chain-parallel TDVP: the PITDVP sweep as ONE shard_map program.
+
+The TPU-native counterpart of the reference's MPI parallel MPS propagation
+(``/root/reference/pytdscf/_mps_parallel.py:107-470`` — even/odd ranks
+sweeping in opposite directions with boundary σ-vector/operator-block
+point-to-point exchange and joint two-site boundary updates).  Design:
+
+* cores are stacked ``(nsite, D, n, D)`` (zero-padded to a uniform bond D)
+  and sharded over a 1-D ``"chain"`` mesh axis — device s owns the
+  contiguous segment of ``m = nsite/P`` sites, plus the boundary factor
+  σ_s at its LEFT edge (sharded ``(P, D, D)``);
+* one full time step compiles to a single ``shard_map``-under-``jit``
+  program: frozen boundary environments come from an all-gathered
+  transfer-matrix prefix/suffix scan (σ/σ⁺ bond insertions folded into the
+  per-segment transfer operators), segment sweeps run concurrently on every
+  device with the direction selected by device parity (``lax.cond``), and
+  the boundary joint two-site updates exchange edge cores/environments with
+  neighbour ``ppermute`` s and truncate by a masked fixed-shape SVD;
+* the algorithm (phases, double-centre σ⁺ boundaries, joint updates) is the
+  in-process :class:`pytdscf_tpu.parallel.pitdvp.PITDVP` — itself the
+  reference algorithm — so correctness is asserted against the serial TDVP
+  engine at the PITDVP splitting tolerance.  Unlike the serial loop, ALL
+  boundary joints of a phase run concurrently from the same frozen
+  environments (as the reference's MPI ranks do), not sequentially.
+
+Environment-scan memory note: the prefix/suffix scan materialises per-
+segment transfer matrices of shape (D·w·D)², which is the exact/parallel
+choice for moderate D (the regime where real-space chain splitting pays
+off).  For χ ≫ 100 single-chip MXU sweeps are the fast path (see bench).
+
+Single electronic state; norm conservation off (as the reference forces
+for parallel runs, ``_const_cls.py:251``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.6
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from pytdscf_tpu.config import Config
+from pytdscf_tpu.mps import kernels as K
+from pytdscf_tpu.mps.integrator import krylov_expm
+
+PREC = jax.lax.Precision.HIGHEST
+_TINY = 1e-300
+
+
+# --------------------------------------------------------------- helpers
+def _norm_log(x):
+    """(x/‖x‖, log‖x‖) — Frobenius-normalised with the scale as a log."""
+    n = jnp.linalg.norm(x).real
+    n = jnp.maximum(n, jnp.asarray(1e-30, n.dtype))
+    return x / n.astype(x.dtype), jnp.log(n)
+
+
+def _pinv(sig, eps):
+    """Tikhonov σ⁺ with sub-regularisation channels dropped (see
+    ``pitdvp._pinv``)."""
+    u, s, vh = jnp.linalg.svd(sig, full_matrices=False)
+    e = eps * jnp.maximum(s[0], _TINY)
+    s_inv = jnp.where(s > e, s / (s * s + e * e), 0.0)
+    return (vh.conj().T * s_inv.astype(sig.dtype)) @ u.conj().T
+
+
+def _site_evolve(L, W, R, psi, scale, hfac, thresh, max_dim):
+    sh = psi.shape
+
+    def hmv(v):
+        return (
+            K.heff_apply(L, W, R, v.reshape(sh)) * hfac.astype(psi.dtype)
+        ).ravel()
+
+    return krylov_expm(
+        hmv, psi.ravel(), scale, thresh, max_dim=max_dim,
+        conserve_norm=False,
+    ).reshape(sh)
+
+
+def _bond_evolve(L, R, sig, scale, kfac, thresh, max_dim):
+    sh = sig.shape
+
+    def kmv(v):
+        return (
+            K.keff_apply(L, R, v.reshape(sh)) * kfac.astype(sig.dtype)
+        ).ravel()
+
+    return krylov_expm(
+        kmv, sig.ravel(), -scale, thresh, max_dim=max_dim,
+        conserve_norm=False,
+    ).reshape(sh)
+
+
+def _site_transfer(c, W, dim):
+    """Row-convention MPS-MPO-MPS transfer matrix of one site."""
+    t = jnp.einsum(
+        "lnr,anmb,qmp->laqrbp", c.conj(), W, c, precision=PREC
+    )
+    return t.reshape(dim, dim)
+
+
+def _insertion(X, w):
+    """Bond-matrix crossing operator on flattened (D, w, D) env vectors.
+
+    Row vectors crossing rightward use ``v @ G``; column vectors crossing
+    leftward use ``G @ u`` (same matrix, G = conj(X) ⊗ I_w ⊗ X).
+    """
+    eye_w = jnp.eye(w, dtype=X.dtype)
+    return jnp.kron(X.conj(), jnp.kron(eye_w, X))
+
+
+# ------------------------------------------------------------------ class
+class SPMDPITDVP:
+    """P-device chain-parallel TDVP over a ``"chain"`` mesh axis."""
+
+    def __init__(
+        self,
+        cores: list[np.ndarray],
+        hamiltonian,
+        config: Config,
+        mesh: Mesh,
+        axis: str = "chain",
+    ):
+        self.mesh = mesh
+        self.axis = axis
+        self.P = mesh.shape[axis]
+        if self.P < 2 or self.P % 2 != 0:
+            raise ValueError("chain axis size must be even and >= 2")
+        nsite = len(cores)
+        if nsite % self.P != 0:
+            raise ValueError("nsite must divide evenly into segments")
+        self.m = nsite // self.P
+        self.nsite = nsite
+        self.config = config
+        self.dtype = jnp.dtype(config.dtype)
+        phys = {int(c.shape[1]) for c in cores}
+        if len(phys) != 1:
+            raise ValueError("SPMD sweep needs a uniform physical dim")
+        self.n = phys.pop()
+        self.D = max(max(c.shape[0], c.shape[2]) for c in cores)
+        fused = hamiltonian.fused_mpo([self.n] * nsite)[0][0]
+        self.w = max(max(wc.shape[0], wc.shape[-1]) for wc in fused)
+
+        from pytdscf_tpu.parallel.chain import pad_cores, pad_mpo
+
+        spec = NamedSharding(mesh, P(axis))
+        self.W = jax.device_put(
+            jnp.asarray(pad_mpo(fused, self.w), self.dtype), spec
+        )
+        # σ_s at the left edge of segment s (σ_0 unused, kept identity);
+        # distribution state (1): seg 0 = ψB…B right-canonical, boundary
+        # factors identity in 'plain' mode.  Odd segments are locally
+        # left-canonicalised exactly as the in-process PITDVP does.
+        stacked = np.asarray(pad_cores(cores, self.D))
+        for s in range(1, self.P, 2):
+            lo, hi = s * self.m, (s + 1) * self.m - 1
+            for p in range(lo, hi):
+                l, n, r = stacked[p].shape
+                q, rmat = np.linalg.qr(stacked[p].reshape(l * n, r))
+                a = np.zeros_like(stacked[p])
+                a[:, :, : q.shape[1]] = q.reshape(l, n, -1)
+                stacked[p] = a
+                nxt = np.einsum(
+                    "kr,rns->kns",
+                    np.pad(rmat, ((0, r - rmat.shape[0]), (0, 0))),
+                    stacked[p + 1],
+                )
+                stacked[p + 1] = nxt
+        self.cores = jax.device_put(jnp.asarray(stacked, self.dtype), spec)
+        sig0 = np.tile(np.eye(self.D, dtype=complex), (self.P, 1, 1))
+        self.sig = jax.device_put(jnp.asarray(sig0, self.dtype), spec)
+        #: boundary mode convention AFTER k steps: k=0 all plain; k>=1 odd
+        #: boundaries double, even plain (matches the serial PITDVP driver).
+        self.nstep = 0
+        self._step_first = None
+        self._step_later = None
+
+    # -------------------------------------------------------------- step
+    def propagate(self, dt: float) -> None:
+        scale = jnp.asarray(-0.5j * dt, self.dtype)
+        first = self.nstep == 0
+        fn = self._compiled(first)
+        self.cores, self.sig = fn(self.cores, self.W, self.sig, scale)
+        self.nstep += 1
+
+    def _compiled(self, first: bool):
+        cached = self._step_first if first else self._step_later
+        if cached is not None:
+            return cached
+        fn = _build_step(
+            mesh=self.mesh,
+            axis=self.axis,
+            Pn=self.P,
+            m=self.m,
+            D=self.D,
+            n=self.n,
+            w=self.w,
+            thresh=self.config.thresh_exp,
+            max_dim=self.config.max_krylov,
+            epsrho=self.config.epsrho,
+            p_svd=max(self.config.adaptive_p_svd, 100.0 * self.config.epsrho),
+            recenter_odd_first=first,
+        )
+        if first:
+            self._step_first = fn
+        else:
+            self._step_later = fn
+        return fn
+
+    # ------------------------------------------------------- observables
+    def to_serial_cores(self) -> list[np.ndarray]:
+        """Gather + collapse boundary factors into a plain core list
+        (the reference's gather-to-rank-0, ``_mps_parallel.py:1416``)."""
+        cores = np.asarray(jax.device_get(self.cores))
+        sig = np.asarray(jax.device_get(self.sig))
+        out = [cores[p] for p in range(self.nsite)]
+        for b in range(1, self.P):
+            X = sig[b]
+            if self.nstep > 0 and b % 2 == 1:  # double mode: insert σ⁺
+                u, s, vh = np.linalg.svd(X)
+                e = self.config.epsrho * max(float(s[0]), _TINY)
+                s_inv = np.where(s > e, s / (s * s + e * e), 0.0)
+                X = (vh.conj().T * s_inv) @ u.conj().T
+            pL = b * self.m - 1
+            out[pL] = np.einsum("lnk,ka->lna", out[pL], X)
+        return out
+
+    def norm(self) -> float:
+        cores = self.to_serial_cores()
+        S = np.ones((1, 1), dtype=complex)
+        for c in cores:
+            S = np.einsum("bk,bno,knp->op", S, c.conj(), c, optimize=True)
+        return float(np.sqrt(S[0, 0].real))
+
+    def expectation(self) -> float:
+        cores = self.to_serial_cores()
+        Ws = np.asarray(jax.device_get(self.W))
+        B = np.ones((self.D, self.w, self.D), dtype=complex) * 0
+        B[0, 0, 0] = 1.0
+        for p in range(self.nsite - 1, -1, -1):
+            B = np.einsum(
+                "bak,oib,cija,pjk->ocp", B, cores[p].conj(), Ws[p], cores[p],
+                optimize=True,
+            )
+        S = np.ones((1, 1), dtype=complex)
+        for c in cores:
+            S = np.einsum("bk,bno,knp->op", S, c.conj(), c, optimize=True)
+        return float(B[0, 0, 0].real / S[0, 0].real)
+
+
+# ------------------------------------------------------------ the program
+def _build_step(
+    *, mesh, axis, Pn, m, D, n, w, thresh, max_dim, epsrho, p_svd,
+    recenter_odd_first,
+):
+    """Compile one full PITDVP time step as a single shard_map program."""
+    dim = D * w * D
+
+    def site_ev(L, W, R, psi, scale, lsum):
+        return _site_evolve(
+            L, W, R, psi, scale, jnp.exp(lsum), thresh, max_dim
+        )
+
+    def bond_ev(L, R, sig, scale, lsum):
+        return _bond_evolve(
+            L, R, sig, scale, jnp.exp(lsum), thresh, max_dim
+        )
+
+    # ---------------- per-device environment scan (frozen boundary envs)
+    def phase_envs(cseg, Wseg, Gown, idx):
+        """(Lb, lL, Rb, lR) for this device's segment.
+
+        ``Gown`` is the (dim, dim) bond-insertion operator of this device's
+        LEFT boundary (identity for device 0), already mode-resolved.
+        """
+        rdt = cseg.real.dtype
+
+        def fold(carry, cw):
+            T, lg = carry
+            T = T @ _site_transfer(cw[0], cw[1], dim)
+            T, dl = _norm_log(T)
+            return (T, lg + dl), None
+
+        eye = jnp.eye(dim, dtype=cseg.dtype)
+        (T, lgT), _ = jax.lax.scan(
+            fold, (eye, jnp.asarray(0.0, rdt)), (cseg, Wseg)
+        )
+        M = Gown @ T
+        M, dM = _norm_log(M)
+        lgM = lgT + dM
+        mats = jax.lax.all_gather(M, axis)          # (P, dim, dim)
+        logs = jax.lax.all_gather(lgM, axis)        # (P,)
+        e0 = jnp.zeros((dim,), cseg.dtype).at[0].set(1.0)
+
+        def pref(carry, k):
+            vec, lg = carry
+            take = k < idx
+            newv = jnp.where(take, vec @ mats[k], vec)
+            newv, dl = _norm_log(newv)
+            lg = lg + dl + jnp.where(take, logs[k], 0.0)
+            return (newv, lg), None
+
+        (lv, lL), _ = jax.lax.scan(
+            pref, (e0, jnp.asarray(0.0, rdt)), jnp.arange(Pn)
+        )
+        lv = lv @ Gown
+        lv, dl = _norm_log(lv)
+        lL = lL + dl
+
+        def suff(carry, k):
+            vec, lg = carry
+            take = k > idx
+            newv = jnp.where(take, mats[k] @ vec, vec)
+            newv, dl = _norm_log(newv)
+            lg = lg + dl + jnp.where(take, logs[k], 0.0)
+            return (newv, lg), None
+
+        (rv, lR), _ = jax.lax.scan(
+            suff, (e0, jnp.asarray(0.0, rdt)), jnp.arange(Pn - 1, -1, -1)
+        )
+        return (
+            lv.reshape(D, w, D), lL, rv.reshape(D, w, D), lR,
+        )
+
+    # ------------------------------------------------- within-segment sweep
+    def sweep_impl(cores, Wseg, Lb, lL, Rb, lR, scale, do_last, forward):
+        cores = [cores[p] for p in range(m)]
+        env = [(Rb, lR) if forward else (Lb, lL)]
+        inner = range(m - 1, 0, -1) if forward else range(0, m - 1)
+        for p in inner:
+            B0, l0 = env[-1]
+            B = (
+                K.renorm_block_right(B0, cores[p], Wseg[p], cores[p])
+                if forward
+                else K.renorm_block_left(B0, cores[p], Wseg[p], cores[p])
+            )
+            B, dl = _norm_log(B)
+            env.append((B, l0 + dl))
+        sysB, sysl = (Lb, lL) if forward else (Rb, lR)
+        order = range(m) if forward else range(m - 1, -1, -1)
+        for p in order:
+            envB, envl = env.pop()
+            last = p == (m - 1 if forward else 0)
+            L, lLc = (sysB, sysl) if forward else (envB, envl)
+            R, lRc = (envB, envl) if forward else (sysB, sysl)
+            if last:
+                new = site_ev(L, Wseg[p], R, cores[p], scale, lLc + lRc)
+                cores[p] = jnp.where(do_last, new, cores[p])
+                break
+            cores[p] = site_ev(L, Wseg[p], R, cores[p], scale, lLc + lRc)
+            if forward:
+                a, sg = K.qr_right(cores[p])
+                cores[p] = a
+                sysB, dl = _norm_log(
+                    K.renorm_block_left(sysB, a, Wseg[p], a)
+                )
+                sysl = sysl + dl
+                sg = bond_ev(sysB, envB, sg, scale, sysl + envl)
+                cores[p + 1] = K.absorb_right(sg, cores[p + 1])
+            else:
+                sg, bc = K.lq_left(cores[p])
+                cores[p] = bc
+                sysB, dl = _norm_log(
+                    K.renorm_block_right(sysB, bc, Wseg[p], bc)
+                )
+                sysl = sysl + dl
+                sg = bond_ev(envB, sysB, sg, scale, envl + sysl)
+                cores[p - 1] = K.absorb_left(cores[p - 1], sg)
+        return jnp.stack(cores)
+
+    def segment_sweep(cseg, Wseg, Lb, lL, Rb, lR, scale, is_fwd, do_last):
+        args = (cseg, Wseg, Lb, lL, Rb, lR, scale, do_last)
+        return jax.lax.cond(
+            is_fwd,
+            lambda a: sweep_impl(*a, forward=True),
+            lambda a: sweep_impl(*a, forward=False),
+            args,
+        )
+
+    # ------------------------------------------------- boundary joint update
+    def joint(cL, WL, Lb2, lL2, cR, WR, Rb2, lR2, sig, scale):
+        """Double-centre boundary: merge ψ σ⁺ ψ, evolve the pair + bond,
+        SVD-split back to A σ' B with masked fixed-shape truncation
+        (reference ``propagate_joint_two_sites``,
+        ``_mps_parallel.py:270-470``)."""
+        sp = _pinv(sig, epsrho)
+        psiL = jnp.einsum("lnk,km->lnm", cL, sp, precision=PREC)
+        sgR, bR = K.lq_left(cR)
+        psiL = jnp.einsum("lnk,km->lnm", psiL, sgR, precision=PREC)
+        RbL, dlr = _norm_log(K.renorm_block_right(Rb2, bR, WR, bR))
+        psiL = site_ev(Lb2, WL, RbL, psiL, scale, lL2 + lR2 + dlr)
+        a, sg = K.qr_right(psiL)
+        LbB, dll = _norm_log(K.renorm_block_left(Lb2, a, WL, a))
+        sg = bond_ev(LbB, RbL, sg, scale, lL2 + dll + lR2 + dlr)
+        psiR = K.absorb_right(sg, bR)
+        psiR = site_ev(LbB, WR, Rb2, psiR, scale, lL2 + dll + lR2)
+        sg2, bc = K.lq_left(psiR)
+        RbN, dlr2 = _norm_log(K.renorm_block_right(Rb2, bc, WR, bc))
+        sg2 = bond_ev(LbB, RbN, sg2, scale, lL2 + dll + lR2 + dlr2)
+        u, s, vh = jnp.linalg.svd(sg2, full_matrices=False)
+        mask = s > p_svd * jnp.maximum(s[0], _TINY)
+        mask = mask.at[0].set(True)
+        mc = mask.astype(sg2.dtype)
+        newL = jnp.einsum("lnk,km->lnm", a, u * mc[None, :], precision=PREC)
+        newR = jnp.einsum(
+            "mk,knr->mnr", vh * mc[:, None], bc, precision=PREC
+        )
+        news = jnp.diag((s * mask).astype(sg2.dtype))
+        return newL, newR, news
+
+    def joint_phase(cseg, Wseg, sig_own, Lb, lL, Rb, lR, scale,
+                    left_mask, right_mask):
+        """Exchange edge data with neighbours, run this device's joint."""
+        # env through the local swept sites, seeded by the FRESH frozen envs
+        Lb2, lL2 = Lb, lL
+        for p in range(m - 1):
+            Lb2, dl = _norm_log(
+                K.renorm_block_left(Lb2, cseg[p], Wseg[p], cseg[p])
+            )
+            lL2 = lL2 + dl
+        Rb2, lR2 = Rb, lR
+        for p in range(m - 1, 0, -1):
+            Rb2, dl = _norm_log(
+                K.renorm_block_right(Rb2, cseg[p], Wseg[p], cseg[p])
+            )
+            lR2 = lR2 + dl
+        to_left = [(i, (i - 1) % Pn) for i in range(Pn)]
+        to_right = [(i, (i + 1) % Pn) for i in range(Pn)]
+        # right-role payload travels LEFT to the pair's left device; the
+        # left-role payload travels RIGHT.
+        c0_r, W0_r, Rb2_r, lR2_r, sig_r = (
+            jax.lax.ppermute(x, axis, to_left)
+            for x in (cseg[0], Wseg[0], Rb2, lR2, sig_own)
+        )
+        cm_l, Wm_l, Lb2_l, lL2_l = (
+            jax.lax.ppermute(x, axis, to_right)
+            for x in (cseg[m - 1], Wseg[m - 1], Lb2, lL2)
+        )
+
+        def as_left(_):
+            newL, newR, news = joint(
+                cseg[m - 1], Wseg[m - 1], Lb2, lL2,
+                c0_r, W0_r, Rb2_r, lR2_r, sig_r, scale,
+            )
+            return newL, cseg[0], sig_own
+
+        def as_right(_):
+            newL, newR, news = joint(
+                cm_l, Wm_l, Lb2_l, lL2_l,
+                cseg[0], Wseg[0], Rb2, lR2, sig_own, scale,
+            )
+            return cseg[m - 1], newR, news
+
+        res = jax.lax.cond(left_mask, as_left, as_right, None)
+        active = left_mask | right_mask
+        new_last = jnp.where(active & left_mask, res[0], cseg[m - 1])
+        new_first = jnp.where(active & right_mask, res[1], cseg[0])
+        new_sig = jnp.where(active & right_mask, res[2], sig_own)
+        cseg = cseg.at[m - 1].set(new_last).at[0].set(new_first)
+        return cseg, new_sig
+
+    # --------------------------------------------------------- full step
+    def local_step(cseg, Wseg, sig_own, scale):
+        idx = jax.lax.axis_index(axis)
+        rdt = cseg.real.dtype
+        sig_own = sig_own[0]
+        is_even = idx % 2 == 0
+        eye_dim = jnp.eye(dim, dtype=cseg.dtype)
+        to_left = [(i, (i - 1) % Pn) for i in range(Pn)]
+
+        def recenter(cseg, which):
+            """Multiply σ into the boundary-adjacent cores.
+
+            ``which``: 'odd' — only odd boundaries; 'all' — every interior
+            boundary (phase-2 start).
+            """
+            sig_right = jax.lax.ppermute(sig_own, axis, to_left)
+            if which == "odd":
+                first_on = (idx % 2 == 1)
+                last_on = (idx % 2 == 0) & (idx < Pn - 1)
+            else:
+                first_on = idx > 0
+                last_on = idx < Pn - 1
+            c0 = jnp.einsum(
+                "km,mnr->knr", sig_own, cseg[0], precision=PREC
+            )
+            cm = jnp.einsum(
+                "lnk,km->lnm", cseg[m - 1], sig_right, precision=PREC
+            )
+            cseg = cseg.at[0].set(jnp.where(first_on, c0, cseg[0]))
+            cseg = cseg.at[m - 1].set(jnp.where(last_on, cm, cseg[m - 1]))
+            return cseg
+
+        def gown(all_double):
+            """Mode-resolved left-boundary insertion operator."""
+            Gp = _insertion(sig_own, w)
+            Gd = _insertion(_pinv(sig_own, epsrho), w)
+            if all_double:
+                G = Gd
+            else:
+                G = jnp.where(idx % 2 == 1, Gd, Gp)
+            return jnp.where(idx == 0, eye_dim, G)
+
+        # ---- phase 1: recentre odd, inward sweeps, odd joints
+        if recenter_odd_first:
+            cseg = recenter(cseg, "odd")
+        G1 = gown(all_double=False)
+        Lb, lL, Rb, lR = phase_envs(cseg, Wseg, G1, idx)
+        cseg = segment_sweep(
+            cseg, Wseg, Lb, lL, Rb, lR, scale,
+            is_fwd=is_even, do_last=jnp.asarray(False),
+        )
+        Lb, lL, Rb, lR = phase_envs(cseg, Wseg, G1, idx)
+        cseg, sig_own = joint_phase(
+            cseg, Wseg, sig_own, Lb, lL, Rb, lR, scale,
+            left_mask=is_even, right_mask=~is_even,
+        )
+
+        # ---- phase 2: recentre all, outward sweeps, even joints
+        cseg = recenter(cseg, "all")
+        G2 = gown(all_double=True)
+        Lb, lL, Rb, lR = phase_envs(cseg, Wseg, G2, idx)
+        at_edge = ((idx == 0) & is_even) | ((idx == Pn - 1) & ~is_even)
+        cseg = segment_sweep(
+            cseg, Wseg, Lb, lL, Rb, lR, scale,
+            is_fwd=~is_even, do_last=at_edge,
+        )
+        Lb, lL, Rb, lR = phase_envs(cseg, Wseg, G2, idx)
+        cseg, sig_own = joint_phase(
+            cseg, Wseg, sig_own, Lb, lL, Rb, lR, scale,
+            left_mask=(idx % 2 == 1) & (idx < Pn - 1),
+            right_mask=(idx % 2 == 0) & (idx > 0),
+        )
+        return cseg, sig_own[None]
+
+    fn = _shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------- dryrun
+def spmd_dryrun(mesh: Mesh, n_devices: int) -> float:
+    """One SPMD PITDVP step vs the serial TDVP engine on a tiny chain.
+
+    Returns the max |Δ grid population| against the serial engine — must be
+    within the PITDVP boundary-splitting error (checked at 1e-2 here; the
+    thorough parity test lives in ``tests/test_spmd_pitdvp.py``).
+    """
+    from pytdscf_tpu.basis import Boson
+    from pytdscf_tpu.mps.lattice import (
+        alloc_hartree_product,
+        right_canonicalize,
+    )
+    from pytdscf_tpu.mps.tdvp import TDVPEngine
+    from pytdscf_tpu.operators.hamiltonian import TensorHamiltonian
+    from pytdscf_tpu.operators.tensor_op import TensorOperator
+
+    nsite = 2 * n_devices
+    nlev, D = 3, 4
+    nmat = Boson(nlev).get_number_matrix()
+    qmat = Boson(nlev).get_q_matrix()
+    pot = {
+        (s, s): TensorOperator(
+            mpo=[(0.05 * (1 + 0.1 * s) * nmat)[None, :, :, None]],
+            legs=(s, s),
+        )
+        for s in range(nsite)
+    }
+    for s in range(nsite - 1):
+        key = (s, s, s + 1, s + 1)
+        pot[key] = TensorOperator(
+            mpo=[(0.02 * qmat)[None, :, :, None], qmat[None, :, :, None]],
+            legs=key,
+        )
+    ham = TensorHamiltonian(nsite, [[pot]], kinetic=None)
+    vecs = []
+    for s in range(nsite):
+        v = np.zeros(nlev, complex)
+        v[1 if s in (1, nsite - 2) else 0] = 1.0
+        vecs.append(v)
+    cores = alloc_hartree_product([nlev] * nsite, D, vecs)
+
+    config = Config(jobname="spmd_dry", thresh_exp=1e-10, conserve_norm=False)
+    dt = 0.05
+    par = SPMDPITDVP(list(cores), ham, config, mesh)
+    for _ in range(2):
+        par.propagate(dt)
+
+    serial = TDVPEngine([list(cores)], ham, config)
+    for _ in range(2):
+        serial.propagate(dt)
+
+    chk = TDVPEngine(
+        [right_canonicalize(par.to_serial_cores())], ham, config
+    )
+    dev = 0.0
+    for p in (0, 1, nsite - 2, nsite - 1):
+        dev = max(
+            dev,
+            float(np.max(np.abs(chk.grid_pop(p) - serial.grid_pop(p)))),
+        )
+    assert dev < 1e-02, f"SPMD PITDVP deviates from serial engine: {dev}"
+    e_par = par.expectation()
+    e_ser = serial.expectation().real
+    assert abs(e_par - e_ser) < 1e-03, (e_par, e_ser)
+    return dev

@@ -51,6 +51,7 @@ class Properties:
         time: float = 0.0,
         t2_trick: bool = True,
         reduced_density=None,
+        initial_cores=None,
     ):
         self.engine = engine
         self.model = model
@@ -66,12 +67,23 @@ class Properties:
         self.expectations: dict[str, complex] = {}
         self._norm_warned = False
         self._t_wall = _time.time()
-        #: initial state for the explicit ⟨Ψ(0)|Ψ(t)⟩ autocorrelation
-        self._initial_cores = (
-            None
-            if t2_trick
-            else [[c for c in state] for state in engine.cores]
-        )
+        #: bra state for the explicit ⟨Ψ(0)|Ψ(t)⟩ autocorrelation.  On
+        #: restart runs the caller MUST pass the persisted t=0 cores via
+        #: ``initial_cores`` — snapshotting ``engine.cores`` here would
+        #: silently continue autocorr.dat against the restart-time state.
+        if t2_trick or not hasattr(engine, "cores"):
+            self._initial_cores = None
+        elif initial_cores is not None:
+            from pytdscf_tpu.mps import device_io as dio
+
+            self._initial_cores = [
+                [dio.put(np.asarray(c), engine.dtype) for c in state]
+                for state in initial_cores
+            ]
+        else:
+            self._initial_cores = [
+                [c for c in state] for state in engine.cores
+            ]
         self.jobdir = config.jobname
         os.makedirs(self.jobdir, exist_ok=True)
         self._files: dict[str, object] = {}

@@ -350,12 +350,29 @@ class Simulator:
 
         diag = Diagnostics()
         engine = self._initial_engine(config, restart, loadfile_ext)
+        # Explicit-autocorr bra: persist the t=0 state once so restarted
+        # runs keep computing ⟨Ψ(0)|Ψ(t)⟩ against the TRUE initial state
+        # (reference continues autocorr.dat seamlessly across restarts).
+        initial_cores = None
+        if not self.t2_trick and autocorr:
+            bra_path = f"wf_{self.jobname}_t0.pkl"
+            if restart:
+                found = resolve_checkpoint(bra_path)
+                if found is not None:
+                    initial_cores = load_wavefunction(found)["cores"]
+            else:
+                save_wavefunction(
+                    {"cores": engine.to_numpy()},
+                    bra_path,
+                    backend=self.checkpoint_backend,
+                )
         props = Properties(
             engine,
             self.model,
             config,
             t2_trick=self.t2_trick,
             reduced_density=reduced_density,
+            initial_cores=initial_cores,
         )
         self._save(engine, config.jobname, savefile_ext)
         logger.info(f"Start initial step  0.000 [{config.display_time_unit}]")
