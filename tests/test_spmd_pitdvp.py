@@ -1,0 +1,126 @@
+"""SPMD (shard_map) chain-parallel TDVP vs the serial engine.
+
+The distributed analog of the reference's MPI parallel-propagation test
+(``/root/reference/tests/test_mpi_exiciton_propagate.py``), run on 8 virtual
+CPU devices: the single-program PITDVP step (segment sweeps + ppermute
+boundary joints) must track the serial TDVP engine within the PITDVP
+boundary-splitting error — the same tolerances as ``tests/test_pitdvp.py``.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from pytdscf_tpu.basis import Boson
+from pytdscf_tpu.config import Config
+from pytdscf_tpu.mps.lattice import alloc_hartree_product, right_canonicalize
+from pytdscf_tpu.mps.tdvp import TDVPEngine
+from pytdscf_tpu.operators.hamiltonian import TensorHamiltonian
+from pytdscf_tpu.operators.tensor_op import TensorOperator
+from pytdscf_tpu.parallel.mesh import make_mesh
+from pytdscf_tpu.parallel.spmd_pitdvp import SPMDPITDVP
+
+NSITE = 16
+NLEV = 3
+BOND = 6
+DT = 0.05
+
+
+def _model():
+    """Same anharmonic nearest-neighbour boson chain as tests/test_pitdvp."""
+    basis = [Boson(NLEV) for _ in range(NSITE)]
+    n_mat = basis[0].get_number_matrix()
+    q_mat = basis[0].get_q_matrix()
+    pot = {}
+    for s in range(NSITE):
+        pot[(s, s)] = TensorOperator(
+            mpo=[(0.05 * (1 + 0.1 * s) * n_mat)[None, :, :, None]],
+            legs=(s, s),
+        )
+    for s in range(NSITE - 1):
+        key = (s, s, s + 1, s + 1)
+        pot[key] = TensorOperator(
+            mpo=[(0.02 * q_mat)[None, :, :, None], q_mat[None, :, :, None]],
+            legs=key,
+        )
+    ham = TensorHamiltonian(NSITE, [[pot]], kinetic=None)
+    vecs = []
+    for s in range(NSITE):
+        v = np.zeros(NLEV, complex)
+        v[1 if s in (5, 10) else 0] = 1.0
+        vecs.append(v)
+    cores = alloc_hartree_product([NLEV] * NSITE, BOND, vecs)
+    return ham, cores
+
+
+def _pops(engine, sites=(0, 5, 10, 15)):
+    return np.array([engine.grid_pop(p) for p in sites])
+
+
+@pytest.mark.parametrize("nseg", [2, 4, 8])
+def test_spmd_pitdvp_tracks_serial(nseg):
+    if len(jax.devices()) < nseg:
+        pytest.skip(f"needs {nseg} devices")
+    ham, cores = _model()
+    nsteps = 4
+
+    serial = TDVPEngine(
+        [list(cores)], ham, Config(jobname="serial", thresh_exp=1e-10)
+    )
+    e0 = serial.expectation().real
+    for _ in range(nsteps):
+        serial.propagate(DT)
+    e_serial = serial.expectation().real
+
+    mesh = make_mesh({"chain": nseg})
+    par = SPMDPITDVP(
+        list(cores), ham,
+        Config(jobname="spmd", thresh_exp=1e-10, conserve_norm=False),
+        mesh,
+    )
+    e0p = par.expectation()
+    assert e0p == pytest.approx(e0, abs=1e-09)
+    for _ in range(nsteps):
+        par.propagate(DT)
+    e_par = par.expectation()
+    n_par = par.norm()
+
+    # invariants: norm and energy conserved to the boundary-splitting order
+    assert n_par == pytest.approx(1.0, abs=5e-04)
+    assert e_par == pytest.approx(e0, abs=5e-04)
+    # tracks the serial propagation
+    assert e_par == pytest.approx(e_serial, abs=5e-04)
+
+    # local observables agree with serial to the splitting error
+    chk = TDVPEngine(
+        [right_canonicalize(par.to_serial_cores())], ham,
+        Config(jobname="chk", thresh_exp=1e-10),
+    )
+    np.testing.assert_allclose(_pops(chk), _pops(serial), atol=5e-03)
+
+
+def test_spmd_matches_inprocess_pitdvp():
+    """The shard_map program implements the same algorithm as the in-process
+    PITDVP.  The FIRST step is identical to machine precision (from a fresh
+    state the sequential-vs-concurrent joint ordering cannot differ); over
+    several steps they drift apart only by the joint-concurrency difference
+    (the serial loop recomputes environments between joints, the SPMD
+    program — like the reference's MPI ranks — runs all joints of a phase
+    concurrently), which stays well inside the splitting error."""
+    from pytdscf_tpu.parallel.pitdvp import PITDVP
+
+    ham, cores = _model()
+    cfg = Config(jobname="x", thresh_exp=1e-10, conserve_norm=False)
+    mesh = make_mesh({"chain": 4})
+    par = SPMDPITDVP(list(cores), ham, cfg, mesh)
+    ref = PITDVP(list(cores), ham, cfg, 4)
+    par.propagate(DT)
+    ref.propagate(DT)
+    assert par.expectation() == pytest.approx(ref.expectation(), abs=1e-10)
+    assert par.norm() == pytest.approx(ref.norm(), abs=1e-10)
+    for _ in range(2):
+        par.propagate(DT)
+        ref.propagate(DT)
+    assert par.expectation() == pytest.approx(ref.expectation(), abs=1e-04)
+    assert par.norm() == pytest.approx(ref.norm(), abs=1e-04)
