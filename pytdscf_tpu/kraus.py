@@ -134,6 +134,152 @@ def kraus_contract_two_site(
     return new_l, new_r
 
 
-def trace_kraus_dim(B: np.ndarray) -> int:
+def kraus_rank(B: np.ndarray) -> int:
     """Number of Kraus operators (channel rank)."""
     return int(np.asarray(B).shape[0])
+
+
+def trace_kraus_dim(rdm: np.ndarray, d: int) -> np.ndarray:
+    """Trace the ancilla (Kraus) subdimension out of a combined-site RDM.
+
+    ``rdm`` has physical⊗ancilla legs of size d·K; returns the d×d system
+    block (batched over a leading time axis if present) — reference
+    ``/root/reference/pytdscf/kraus.py:434-455``.
+    """
+    rdm = np.asarray(rdm)
+    dK = rdm.shape[-1]
+    if dK % d != 0:
+        raise ValueError(f"combined dim {dK} not divisible by system d={d}")
+    K = dK // d
+    if rdm.ndim == 2:
+        return np.einsum("dKxK->dx", rdm.reshape(d, K, d, K))
+    return np.einsum("tdKxK->tdx", rdm.reshape(-1, d, K, d, K))
+
+
+def _masked_svd(mat, keep: int):
+    """SVD with junk-channel suppression, fixed output rank ``keep``.
+
+    The TPU backend's SVD emits garbage (1e9-scale) entries in the
+    near-null singular subspace of rank-deficient complex matrices;
+    singular values and the columns above the cut stay usable.  Masking
+    sub-cut channels to EXACT zero (jnp.where, not multiply-by-zero)
+    keeps junk from leaking into either factor.
+    """
+    import jax.numpy as jnp
+
+    u, s, vh = jnp.linalg.svd(mat, full_matrices=False)
+    if keep > s.shape[0]:  # static: pad null channels with exact zeros
+        pad = keep - s.shape[0]
+        u = jnp.pad(u, ((0, 0), (0, pad)))
+        s = jnp.pad(s, (0, pad))
+        vh = jnp.pad(vh, ((0, pad), (0, 0)))
+    u, s, vh = u[:, :keep], s[:keep], vh[:keep]
+    eps = jnp.finfo(s.dtype).eps
+    cut = 100.0 * eps * jnp.maximum(s[0], jnp.asarray(0.0, s.dtype))
+    mask = s > cut
+    sm = jnp.where(mask, s, 0.0)
+    u = jnp.where(mask[None, :], u, 0.0)
+    vh = jnp.where(mask[:, None], vh, 0.0)
+    return u, sm, vh
+
+
+def _two_site_device_impl(core_l, core_r, G, keep: int):
+    import jax
+    import jax.numpy as jnp
+
+    HI = jax.lax.Precision.HIGHEST
+    l, n1, _ = core_l.shape
+    _, n2, r = core_r.shape
+    joint = jnp.einsum("lnm,mkr->lnkr", core_l, core_r, precision=HI)
+    joint = joint.reshape(l, n1 * n2, r)
+    joint = jnp.einsum("nm,lmr->lnr", G, joint, precision=HI)
+    joint = joint.reshape(l * n1, n2 * r)
+    u, sm, vh = _masked_svd(joint, keep)
+    new_l = (u * sm[None, :].astype(u.dtype)).reshape(l, n1, keep)
+    new_r = vh.reshape(keep, n2, r)
+    return new_l, new_r
+
+
+def _purified_single_impl(core, B):
+    """Channel on the physical part of a combined phys⊗ancilla site.
+
+    ``core`` (m, d·K, n); ``B`` (k, d, d).  Σ_k B_k|ψ⟩⊗|k⟩ re-compressed
+    back to ancilla dimension K by SVD over (m·n·d, k·K) — reference
+    ``_kraus_contract_single_site_np`` (``/root/reference/pytdscf/kraus.py:146``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    HI = jax.lax.Precision.HIGHEST
+    k, x, d = B.shape
+    m, dK, n = core.shape
+    K = dK // d
+    A = core.reshape(m, d, K, n)
+    C = jnp.einsum("kxd,mdKn->mnxkK", B, A, precision=HI)
+    C = C.reshape(m * n * x, k * K)
+    u, sm, _ = _masked_svd(C, K)
+    A = (u * sm[None, :].astype(u.dtype)).reshape(m, n, x * K)
+    return jnp.swapaxes(A, 1, 2)
+
+
+def _purified_pair_impl(core_1, core_2, B):
+    """Channel on a physical site with the ancilla on the neighbour site.
+
+    ``core_1`` (m, d, l) physical, ``core_2`` (l, K, n) ancilla; the Kraus
+    index folds into the ancilla dimension (kept at K), then the bond is
+    re-split at l — reference ``_kraus_contract_two_site_np``
+    (``/root/reference/pytdscf/kraus.py:258-433``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    HI = jax.lax.Precision.HIGHEST
+    k, x, d = B.shape
+    m, _, l = core_1.shape
+    _, K, n = core_2.shape
+    C = jnp.einsum(
+        "kxd,mdl,lKn->mxnkK", B, core_1, core_2, precision=HI
+    )
+    C = C.reshape(m * x * n, k * K)
+    u, sm, _ = _masked_svd(C, K)
+    C = (u * sm[None, :].astype(u.dtype)).reshape(m, x, n, K)
+    C = jnp.swapaxes(C, 2, 3).reshape(m * x, K * n)
+    u, sm, vh = _masked_svd(C, l)
+    A1 = (u * sm[None, :].astype(u.dtype)).reshape(m, x, l)
+    A2 = vh.reshape(l, K, n)
+    return A1, A2
+
+
+_jits: dict = {}
+
+
+def _jitted(name: str, impl, static=()):
+    fn = _jits.get(name)
+    if fn is None:
+        import jax
+
+        fn = _jits[name] = jax.jit(impl, static_argnames=static)
+    return fn
+
+
+def kraus_two_site_device(core_l, core_r, G, keep: int):
+    """Jitted on-device two-site (Liouville joint-supergate) application.
+
+    Device analogue of :func:`kraus_contract_two_site`: joint contraction
+    with the dense supergate ``G`` and masked fixed-shape SVD resplit — no
+    device→host round trip of the two largest cores per step.  ``keep``
+    must be static (``min(l·n1, n2·r, max_bond)``).
+    """
+    return _jitted("two_site", _two_site_device_impl, ("keep",))(
+        core_l, core_r, G, keep=keep
+    )
+
+
+def kraus_purified_single_device(core, B):
+    """Jitted purified single-site channel (phys⊗ancilla on one site)."""
+    return _jitted("purified_single", _purified_single_impl)(core, B)
+
+
+def kraus_purified_pair_device(core_1, core_2, B):
+    """Jitted purified channel: physical site + adjacent ancilla site."""
+    return _jitted("purified_pair", _purified_pair_impl)(core_1, core_2, B)

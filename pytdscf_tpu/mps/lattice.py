@@ -74,6 +74,24 @@ def alloc_hartree_product(
         data = np.zeros((m_l, phys_dims[p], m_r), dtype=np.complex128)
         if hartree_vecs is not None:
             vec = np.asarray(hartree_vecs[p], dtype=np.complex128)
+            if vec.ndim == 3:
+                # entangled (purified) initialisation: the caller provides
+                # a full (l, n, r) core, e.g. an ancilla Bell pair
+                # (reference purified-MPS workflow,
+                # ``/root/reference/tests/test_mixedstate.py:629-646``).
+                if vec.shape[1] != phys_dims[p]:
+                    raise ValueError(
+                        f"site {p}: physical dim {vec.shape[1]} != "
+                        f"{phys_dims[p]}"
+                    )
+                if vec.shape[0] > m_l or vec.shape[2] > m_r:
+                    raise ValueError(
+                        f"site {p}: initial core bonds {vec.shape} exceed "
+                        f"lattice bonds ({m_l}, {m_r}); raise m_aux_max"
+                    )
+                data[: vec.shape[0], :, : vec.shape[2]] = vec
+                cores.append(data)
+                continue
             if space == "hilbert":
                 vec = vec / np.linalg.norm(vec)
             else:

@@ -643,35 +643,98 @@ class TDVPEngine:
                 )
         self.canonicalize()
 
-    def apply_kraus(self, kraus_op: dict) -> None:
-        """Apply Kraus channels {sites: B[q, d, d]} to ρ-vectorised sites."""
+    def _kraus_supergate(self, sites, B) -> "dio.jax.Array":
+        """Per-channel dense supergate Σ B⊗B*, cached on device.
+
+        The Kraus tensor for a channel is built once at setup and reused
+        every step, so the host→device transfer of its supergate is paid
+        once (keyed by object identity; the cache holds a reference so ids
+        stay unique)."""
         from pytdscf_tpu import kraus as KR
 
+        key = (sites, id(B))
+        hit = self._kraus_cache.get(key)
+        if hit is None:
+            G = dio.put(KR.kraus_supergate(np.asarray(B)), self.dtype)
+            self._kraus_cache[key] = hit = (B, G)
+        return hit[1]
+
+    def _kraus_tensor(self, sites, B) -> "dio.jax.Array":
+        """Kraus tensor B[q, d, d] as a cached device array."""
+        key = (sites, id(B), "B")
+        hit = self._kraus_cache.get(key)
+        if hit is None:
+            Bd = dio.put(np.asarray(B), self.dtype)
+            self._kraus_cache[key] = hit = (B, Bd)
+        return hit[1]
+
+    def apply_kraus(self, kraus_op: dict) -> None:
+        """Apply Kraus channels ``{sites: B[q, d, d]}``.
+
+        * ``space="liouville"``: sites hold vec(ρ) blocks — one-site
+          channels contract the dense supergate Σ B⊗B*, two-site channels
+          contract the joint supergate across the bond with an SVD resplit.
+        * ``space="hilbert"``: purified-MPS semantics (reference
+          ``/root/reference/pytdscf/kraus.py:126-433``) — the Kraus index
+          folds into an ancilla dimension, either the second factor of a
+          combined phys⊗ancilla site (1-site form) or the neighbouring
+          ancilla site (2-site form), re-compressed by SVD.
+
+        Every path is a jitted device program; no core crosses the host
+        boundary inside the step (the reference round-trips numpy cores)."""
+        from pytdscf_tpu import kraus as KR
+
+        if not hasattr(self, "_kraus_cache"):
+            self._kraus_cache = {}
+        liouville = self.config.space == "liouville"
         for sites, B in kraus_op.items():
-            B = np.asarray(B)
-            if len(sites) == 1:
-                G = dio.put(KR.kraus_supergate(B), self.dtype)
+            if len(sites) == 1 and liouville:
+                G = self._kraus_supergate(sites, B)
                 p = sites[0]
                 for i in range(self.nstate):
                     self.cores[i][p] = dio.jeinsum(
                         "nm,lmr->lnr", G, self.cores[i][p]
                     )
+            elif len(sites) == 2 and liouville:
+                p, q = sites
+                if q != p + 1:
+                    raise ValueError("two-site Kraus needs adjacent sites")
+                G = self._kraus_supergate(sites, B)
+                for i in range(self.nstate):
+                    cl, cr = self.cores[i][p], self.cores[i][q]
+                    l, n1, _ = cl.shape
+                    _, n2, r = cr.shape
+                    keep = min(
+                        l * n1, n2 * r, max(l * n1, cl.shape[2])
+                    )
+                    self.cores[i][p], self.cores[i][q] = (
+                        KR.kraus_two_site_device(cl, cr, G, keep)
+                    )
+            elif len(sites) == 1:
+                p = sites[0]
+                Bd = self._kraus_tensor(sites, B)
+                d = Bd.shape[-1]
+                for i in range(self.nstate):
+                    if self.cores[i][p].shape[1] % d != 0:
+                        raise ValueError(
+                            f"site {p} dim {self.cores[i][p].shape[1]} not "
+                            f"divisible by Kraus dim {d} (purified form "
+                            "needs a phys⊗ancilla site)"
+                        )
+                    self.cores[i][p] = KR.kraus_purified_single_device(
+                        self.cores[i][p], Bd
+                    )
             elif len(sites) == 2:
                 p, q = sites
                 if q != p + 1:
                     raise ValueError("two-site Kraus needs adjacent sites")
+                Bd = self._kraus_tensor(sites, B)
                 for i in range(self.nstate):
-                    cl, cr = KR.kraus_contract_two_site(
-                        dio.fetch(self.cores[i][p]),
-                        dio.fetch(self.cores[i][q]),
-                        B,
-                        max_bond=max(
-                            self.cores[i][p].shape[0] * self.cores[i][p].shape[1],
-                            self.cores[i][p].shape[2],
-                        ),
+                    self.cores[i][p], self.cores[i][q] = (
+                        KR.kraus_purified_pair_device(
+                            self.cores[i][p], self.cores[i][q], Bd
+                        )
                     )
-                    self.cores[i][p] = dio.put(cl, self.dtype)
-                    self.cores[i][q] = dio.put(cr, self.dtype)
             else:
                 raise ValueError(f"unsupported Kraus site tuple {sites}")
         self.canonicalize()

@@ -4,21 +4,25 @@ Mirrors the reference ``Properties`` engine
 (``/root/reference/pytdscf/properties.py``): autocorrelation via the T/2
 trick, energy, norm, populations, arbitrary observables, reduced densities;
 exports ``autocorr.dat`` / ``populations.dat`` / ``expectations.dat`` in the
-same text format.  Reduced densities go to an HDF5 file (h5py) with the same
-variable naming (``rho_{key}_{istate}``) as the reference's netCDF export.
+same text format.  Reduced densities go to a genuinely netCDF4-compatible
+file (``util/nc4.py`` writes the netcdf-c HDF5 layout) with the reference's
+schema: dims ``step``/``state``/``Q{idof}``, ``time`` variable, compound
+``complex128`` ``rho_{key}_{istate}`` variables
+(``/root/reference/pytdscf/properties.py:156-209``).
 """
 
 from __future__ import annotations
 
+import math
 import os
 import time as _time
 import warnings
 
-import h5py
 import numpy as np
 
 from pytdscf_tpu import units
 from pytdscf_tpu.config import Config
+from pytdscf_tpu.util.nc4 import NC4Writer
 
 
 def remain_nleg_from_key(key: tuple[int, ...]) -> tuple[int, ...]:
@@ -95,10 +99,31 @@ class Properties:
             self.rd_path = os.path.join(self.jobdir, "reduced_density.nc")
             if os.path.exists(self.rd_path):
                 os.remove(self.rd_path)
-            with h5py.File(self.rd_path, "w") as f:
-                f.create_dataset(
-                    "time", shape=(0,), maxshape=(None,), dtype="f8"
-                )
+            self._nc_row = 0
+            self._nc = w = NC4Writer(self.rd_path)
+            nstate = getattr(model, "nstate", 1)
+            w.create_dimension("step", None)
+            w.create_dimension("state", max(nstate, 1))
+            for key in self.rd_keys:
+                if key != tuple(sorted(key)):
+                    raise ValueError(
+                        f"reduced-density key {key} must be ascending"
+                    )
+                for idof in key:
+                    dim = f"Q{idof}"
+                    if dim in w._dim_order:
+                        continue
+                    ngrid = model.basinfo.get_ngrid(0, idof)
+                    if config.space == "liouville":
+                        ngrid = math.isqrt(ngrid)
+                    w.create_dimension(dim, ngrid)
+            w.create_variable("time", "f8", ("step",))
+            for key in self.rd_keys:
+                dims = ("step",) + tuple(f"Q{idof}" for idof in key)
+                for istate in range(nstate):
+                    w.create_variable(
+                        f"rho_{key}_{istate}", np.complex128, dims
+                    )
         else:
             self.rd_keys = None
             self.rd_step = None
@@ -230,25 +255,14 @@ class Properties:
             f.flush()
 
     def _export_reduced_density(self) -> None:
-        with h5py.File(self.rd_path, "a") as f:
-            tset = f["time"]
-            row = tset.shape[0]
-            tset.resize((row + 1,))
-            tset[row] = self.get_time_display()
-            for key, legs in zip(self.rd_keys, self.remain_legs):
-                istate = 0
+        row = self._nc_row
+        self._nc.append_row("time", row, self.get_time_display())
+        nstate = getattr(self.model, "nstate", 1)
+        for key, legs in zip(self.rd_keys, self.remain_legs):
+            for istate in range(nstate):
                 rho = self.engine.reduced_density(legs, istate=istate)
-                name = f"rho_{key}_{istate}"
-                if name not in f:
-                    f.create_dataset(
-                        name,
-                        shape=(0,) + rho.shape,
-                        maxshape=(None,) + rho.shape,
-                        dtype="complex128",
-                    )
-                dset = f[name]
-                dset.resize((row + 1,) + rho.shape)
-                dset[row] = rho
+                self._nc.append_row(f"rho_{key}_{istate}", row, rho)
+        self._nc_row += 1
 
     def update(self, dt_au: float) -> None:
         self.time += dt_au

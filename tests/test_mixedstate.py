@@ -180,8 +180,10 @@ def _run_mpdo(tmp_path, jobname, include_lindblad, one_gate=None, kraus=None):
     )
     import h5py
 
+    from pytdscf_tpu.util.nc4 import as_complex
+
     with h5py.File(f"{jobname}_prop/reduced_density.nc", "r") as f:
-        rdms = np.asarray(f["rho_(1, 1)_0"])
+        rdms = as_complex(np.asarray(f["rho_(1, 1)_0"]))
     return rdms
 
 

@@ -76,8 +76,10 @@ def test_projected_dynamics_matches(tmp_path):
         )
         import h5py
 
+        from pytdscf_tpu.util.nc4 import as_complex
+
         with h5py.File(f"proj_{bool(subspace)}_prop/reduced_density.nc") as f:
-            return np.asarray(f["rho_(1, 1)_0"])
+            return as_complex(np.asarray(f["rho_(1, 1)_0"]))
 
     full = run(None)
     # bath site restricted to its diagonal Liouville indices |0⟩⟨0|,|1⟩⟨1|
