@@ -50,6 +50,13 @@ class Config:
     pytest_enabled: bool = False
     #: Computation dtype for the tensor network.
     dtype: str = "complex128"
+    #: CMF (constant-mean-field) adaptive-step propagation for MCTDH
+    #: (reference ``wavefunction.propagate_CMF``).
+    cmf: bool = False
+    #: CMF predictor/corrector error tolerance (reference ``const.tol_CMF``).
+    tol_cmf: float = 1.0e-14
+    #: Largest CMF step in a.u. (reference ``const.max_stepsize`` = 0.010 fs).
+    max_stepsize: float = 0.010 / 0.024188843265857  # au (0.010 fs)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

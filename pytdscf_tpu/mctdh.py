@@ -1,18 +1,21 @@
 """MCTDH mode: CI tensor + single-particle-function (SPF) layer.
 
 Functional counterpart of the reference's MCTDH machinery
-(``/root/reference/pytdscf/_ci_cls.py`` — full CI tensor with SIL
+(``/root/reference/pytdscf/_ci_cls.py`` — multi-state CI tensors with SIL
 propagation and mean-field construction; ``_spf_cls.py`` — SPF matrices with
 the (1−P)ρ⁻¹⟨H⟩φ EOM, RK45; ``_ode_cls.py`` — RK4 / Dormand–Prince
-steppers; ``wavefunction.py:176`` — VMF propagation), redesigned jax-first:
-the CI tensor is a dense jax array contracted per-DOF with tensordots (MXU
-matmuls), the SIL reuses the on-device Krylov propagator of the MPS engine,
-and SPF updates are batched matrix ODEs.
+steppers; ``wavefunction.py:176`` — VMF propagation and ``:418-586`` — CMF
+constant-mean-field propagation with adaptive step-size control), redesigned
+jax-first: CI tensors are dense jax arrays contracted per-DOF with
+tensordots (MXU matmuls), the SIL reuses the on-device Krylov propagator of
+the MPS engine, and SPF updates are batched matrix ODEs.
 
-Scope of this implementation: one electronic state, SOP
-(:class:`~pytdscf_tpu.operators.sop.PolynomialHamiltonian`) Hamiltonians —
-the reference's supported MCTDH surface minus its deprecated multi-state
-SPF bookkeeping.
+Multi-state structure: each electronic state carries its own SPF set
+(state-specific SPFs, reference ``_spf_cls.SPFCoef`` indexed by state) and
+its own CI tensor; off-diagonal Hamiltonian blocks contract through
+cross-state SPF overlap/operator integrals on EVERY degree of freedom
+(reference ``multiplyH_CI`` over (istate, jstate) pairs,
+``_ci_cls.py:616-899``).
 """
 
 from __future__ import annotations
@@ -25,7 +28,6 @@ import numpy as np
 
 from pytdscf_tpu.basis.op_matrix import op_matrix
 from pytdscf_tpu.config import Config
-from pytdscf_tpu.mps import device_io as dio
 from pytdscf_tpu.mps.integrator import krylov_expm
 from pytdscf_tpu.operators.sop import PolynomialHamiltonian
 
@@ -79,13 +81,15 @@ def ode_propagate(f, y, dt_total, tol: float = 1.0e-09):
     """Integrate over dt_total with error-controlled RK45 substeps."""
     t = 0.0
     dt = dt_total
-    while t < dt_total - 1e-15:
-        dt = min(dt, dt_total - t)
-        y5, err, dt_new = rk45_step(f, y, dt, tol)
-        if err <= tol or dt <= 1e-8 * dt_total:
+    sign = 1.0 if dt_total >= 0 else -1.0
+    span = abs(dt_total)
+    while t < span - 1e-15:
+        dt = min(abs(dt), span - t)
+        y5, err, dt_new = rk45_step(f, y, sign * dt, tol)
+        if err <= tol or dt <= 1e-8 * span:
             y = y5
             t += dt
-        dt = dt_new
+        dt = abs(dt_new)
     return y
 
 
@@ -104,6 +108,9 @@ class SPFCoef:
             phis.append(jnp.eye(nspf, nprim, dtype=jnp.complex128))
         return cls(phis)
 
+    def copy(self) -> "SPFCoef":
+        return SPFCoef([p for p in self.phis])
+
     def gram_schmidt(self) -> None:
         for k, phi in enumerate(self.phis):
             q, _ = jnp.linalg.qr(phi.T)
@@ -115,22 +122,35 @@ class SPFCoef:
 
 
 class SPFInts:
-    """⟨φ_j|op|φ_l⟩ per DOF for every op key a Hamiltonian uses
-    (reference ``_spf_cls.SPFInts``)."""
+    """⟨φ^i_j|op|φ^k_l⟩ per DOF for every op key a Hamiltonian block uses,
+    for every coupled electronic-state pair (reference ``_spf_cls.SPFInts``;
+    cross-state blocks additionally need the plain overlap on every DOF).
+    """
 
-    def __init__(self, basinfo, spf: SPFCoef, op_keys_per_dof: list[set]):
-        self.mats: list[dict[str, jnp.ndarray]] = []
-        for idof, keys in enumerate(op_keys_per_dof):
-            bas = basinfo.get_primbas(0, idof)
-            phi = spf.phis[idof]
-            dof_mats = {}
-            for key in keys | {"ovlp"}:
-                prim = jnp.asarray(op_matrix(bas, bas, key), jnp.complex128)
-                dof_mats[key] = phi.conj() @ prim @ phi.T
-            self.mats.append(dof_mats)
+    def __init__(self, basinfo, spfs: list[SPFCoef], keys_per_pair: dict):
+        #: {(i, j): [per-dof {key: (nspf_i, nspf_j) matrix}]}
+        self.mats: dict[tuple[int, int], list[dict[str, jnp.ndarray]]] = {}
+        for (i, j), keys_per_dof in keys_per_pair.items():
+            pair = []
+            for idof, keys in enumerate(keys_per_dof):
+                bas_i = basinfo.get_primbas(i, idof)
+                bas_j = basinfo.get_primbas(j, idof)
+                phi_i, phi_j = spfs[i].phis[idof], spfs[j].phis[idof]
+                dof_mats = {}
+                for key in keys | {"ovlp"}:
+                    prim = jnp.asarray(
+                        op_matrix(bas_i, bas_j, key), jnp.complex128
+                    )
+                    dof_mats[key] = phi_i.conj() @ prim @ phi_j.T
+                pair.append(dof_mats)
+            self.mats[(i, j)] = pair
+
+    def pair(self, i: int, j: int) -> list[dict[str, jnp.ndarray]]:
+        return self.mats[(i, j)]
 
     def __getitem__(self, idof: int) -> dict[str, jnp.ndarray]:
-        return self.mats[idof]
+        # single-state convenience (state pair (0, 0))
+        return self.mats[(0, 0)][idof]
 
 
 # --------------------------------------------------------------- CI layer
@@ -143,17 +163,46 @@ def _apply_term(ci, mode_ops: dict[int, jnp.ndarray]):
     return out
 
 
-def ci_matvec(ci, ham: PolynomialHamiltonian, ints: SPFInts):
-    """H·A in the SPF basis (SOP term loop; reference ``multiplyH_CI``)."""
-    out = jnp.zeros_like(ci)
-    for term in ham.general[0][0] + ham.onesite[0][0]:
-        mats = {
-            d: ints[d][k] for d, k in term.mode_ops.items()
-        }
-        out = out + term.coef * _apply_term(ci, mats)
-    if ham.coupleJ[0][0] != 0.0:
-        out = out + ham.coupleJ[0][0] * ci
+def _pair_term_mats(ints_pair, term_mode_ops, ndof: int, cross: bool):
+    """Per-DOF matrices of one SOP term for a state pair.
+
+    Same-state blocks skip identity DOFs; cross-state blocks must contract
+    the SPF overlap on every DOF (state-specific SPF bases)."""
+    mats = {}
+    for d in range(ndof):
+        key = term_mode_ops.get(d)
+        if key is not None:
+            mats[d] = ints_pair[d][key]
+        elif cross:
+            mats[d] = ints_pair[d]["ovlp"]
+    return mats
+
+
+def ci_matvec_ms(cis, ham: PolynomialHamiltonian, ints: SPFInts, ndof: int):
+    """H·A over all electronic-state blocks (reference ``multiplyH_CI``)."""
+    out = [jnp.zeros_like(c) for c in cis]
+    for i in range(ham.nstate):
+        for j in range(ham.nstate):
+            if (i, j) not in ints.mats:
+                continue
+            cross = i != j
+            pair = ints.pair(i, j)
+            for term in ham.general[i][j] + ham.onesite[i][j]:
+                mats = _pair_term_mats(pair, term.mode_ops, ndof, cross)
+                out[i] = out[i] + term.coef * _apply_term(cis[j], mats)
+            cj = ham.coupleJ[i][j]
+            if cj != 0.0:
+                if cross:
+                    mats = {d: pair[d]["ovlp"] for d in range(ndof)}
+                    out[i] = out[i] + cj * _apply_term(cis[j], mats)
+                else:
+                    out[i] = out[i] + cj * cis[j]
     return out
+
+
+def ci_matvec(ci, ham: PolynomialHamiltonian, ints: SPFInts):
+    """Single-state H·A (kept for the test-exercised 1-state surface)."""
+    return ci_matvec_ms([ci], ham, ints, ci.ndim)[0]
 
 
 def ci_density(ci, idof: int) -> jnp.ndarray:
@@ -162,26 +211,47 @@ def ci_density(ci, idof: int) -> jnp.ndarray:
     return jnp.tensordot(ci.conj(), ci, axes=(axes, axes))
 
 
-def ci_meanfield(ci, ham, ints, idof: int, nspf: int):
-    """Mean-field matrices in the PRIMITIVE basis for DOF ``idof``:
-    Σ_r c_r ⟨A|Π_{d≠idof} h̃_d|A⟩_{jl} ⊗ h^prim_r(idof) assembled later;
-    here we return list of (weight_{jl}, op_key)."""
-    out = []
-    for term in ham.general[0][0] + ham.onesite[0][0]:
-        mode_ops = term.mode_ops
-        mats = {
-            d: ints[d][k] for d, k in mode_ops.items() if d != idof
-        }
-        hA = _apply_term(ci, mats)
-        axes = [d for d in range(ci.ndim) if d != idof]
-        w = jnp.tensordot(ci.conj(), hA, axes=(axes, axes))
-        out.append((term.coef * w, mode_ops.get(idof, "ovlp")))
+def ci_meanfield_ms(
+    cis, ham: PolynomialHamiltonian, ints: SPFInts, idof: int, ndof: int
+):
+    """Mean-field weights for DOF ``idof`` of every state.
+
+    Returns ``{istate: [(W_{ab}, op_key, jstate), ...]}`` with
+    W = ⟨A^i| Π_{d≠idof} h̃_d |A^j⟩ so the SPF EOM contribution is
+    W @ φ^j @ h_prim(idof)ᵀ (reference ``construct_mfop``,
+    ``_ci_cls.py:129`` and ``_mps_sop.py:839-1172``)."""
+    out: dict[int, list] = {i: [] for i in range(ham.nstate)}
+    for i in range(ham.nstate):
+        for j in range(ham.nstate):
+            if (i, j) not in ints.mats:
+                continue
+            cross = i != j
+            pair = ints.pair(i, j)
+            axes = [d for d in range(ndof) if d != idof]
+            for term in ham.general[i][j] + ham.onesite[i][j]:
+                mats = _pair_term_mats(pair, term.mode_ops, ndof, cross)
+                mats.pop(idof, None)
+                hA = _apply_term(cis[j], mats)
+                w = jnp.tensordot(cis[i].conj(), hA, axes=(axes, axes))
+                out[i].append(
+                    (term.coef * w, term.mode_ops.get(idof, "ovlp"), j)
+                )
+            cj = ham.coupleJ[i][j]
+            if cj != 0.0:
+                if cross:
+                    mats = {d: pair[d]["ovlp"] for d in axes}
+                    hA = _apply_term(cis[j], mats)
+                else:
+                    hA = cis[j]
+                w = jnp.tensordot(cis[i].conj(), hA, axes=(axes, axes))
+                out[i].append((cj * w, "ovlp", j))
     return out
 
 
 class MCTDHEngine:
-    """VMF-propagated MCTDH wavefunction (CI ⊗ SPF) with the Simulator
-    interface (propagate / expectation / autocorr / norm / pop_states)."""
+    """VMF/CMF-propagated MCTDH wavefunction (CI ⊗ SPF per electronic
+    state) with the Simulator interface (propagate / propagate_CMF /
+    expectation / autocorr / norm / pop_states)."""
 
     def __init__(self, model, config: Config):
         self.model = model
@@ -191,141 +261,316 @@ class MCTDHEngine:
         ham = model.hamiltonian
         if not isinstance(ham, PolynomialHamiltonian):
             raise NotImplementedError("MCTDH requires PolynomialHamiltonian")
-        if ham.nstate != 1:
-            raise NotImplementedError("MCTDH: single electronic state only")
         self.ham = ham
-        self.nspf = [basinfo.get_nspf(0, d) for d in range(self.ndof)]
-        self.nprim = [basinfo.get_nprim(0, d) for d in range(self.ndof)]
-        self.op_keys = [set() for _ in range(self.ndof)]
-        for term in ham.general[0][0] + ham.onesite[0][0]:
-            for d, k in term.mode_ops.items():
-                self.op_keys[d].add(k)
-        self.spf = SPFCoef.init_ground(self.nspf, self.nprim)
-        ci = np.zeros(self.nspf, dtype=complex)
-        ci[(0,) * self.ndof] = 1.0
-        if model.init_weight_VIBSTATE is not None:
-            # occupation vector per DOF (in the SPF basis, product state)
-            ci[...] = 0.0
-            vecs = [
-                np.asarray(v[: self.nspf[d]], complex)
-                for d, v in enumerate(model.init_weight_VIBSTATE[0])
-            ]
-            prod = vecs[0]
-            for v in vecs[1:]:
-                prod = np.multiply.outer(prod, v)
-            ci = prod / np.linalg.norm(prod)
-        self.ci = jnp.asarray(ci)
-        self.ci0 = self.ci
-        self.spf0 = [p for p in self.spf.phis]
+        self.nstate = ham.nstate
+        self.nspf = [
+            [basinfo.get_nspf(i, d) for d in range(self.ndof)]
+            for i in range(self.nstate)
+        ]
+        self.nprim = [
+            [basinfo.get_nprim(i, d) for d in range(self.ndof)]
+            for i in range(self.nstate)
+        ]
+        #: op keys per coupled state pair per dof
+        self.keys_per_pair: dict[tuple[int, int], list[set]] = {}
+        for i in range(self.nstate):
+            for j in range(self.nstate):
+                terms = ham.general[i][j] + ham.onesite[i][j]
+                if not terms and ham.coupleJ[i][j] == 0.0:
+                    continue
+                keys = [set() for _ in range(self.ndof)]
+                for term in terms:
+                    for d, k in term.mode_ops.items():
+                        keys[d].add(k)
+                self.keys_per_pair[(i, j)] = keys
+        self.spfs = [
+            SPFCoef.init_ground(self.nspf[i], self.nprim[i])
+            for i in range(self.nstate)
+        ]
+        if model.init_weight_ESTATE is not None:
+            w = np.asarray(model.init_weight_ESTATE, dtype=float)
+            weights = (w / w.sum()).tolist()
+        else:
+            weights = [1.0] + [0.0] * (self.nstate - 1)
+        cis = []
+        for i in range(self.nstate):
+            ci = np.zeros(self.nspf[i], dtype=complex)
+            ci[(0,) * self.ndof] = 1.0
+            if model.init_weight_VIBSTATE is not None:
+                vecs = [
+                    np.asarray(v[: self.nspf[i][d]], complex)
+                    for d, v in enumerate(model.init_weight_VIBSTATE[i])
+                ]
+                prod = vecs[0]
+                for v in vecs[1:]:
+                    prod = np.multiply.outer(prod, v)
+                ci = prod / np.linalg.norm(prod)
+            cis.append(jnp.asarray(ci * math.sqrt(weights[i])))
+        self.cis = cis
         self.epsrho = config.epsrho
 
+    # ------------------------------------------------- legacy 1-state views
+    @property
+    def ci(self):
+        return self.cis[0]
+
+    @ci.setter
+    def ci(self, value):
+        self.cis[0] = value
+
+    @property
+    def spf(self) -> SPFCoef:
+        return self.spfs[0]
+
     # ------------------------------------------------------------------
-    def _ints(self) -> SPFInts:
-        return SPFInts(self.model.basinfo, self.spf, self.op_keys)
+    def _ints(self, spfs=None) -> SPFInts:
+        return SPFInts(
+            self.model.basinfo, spfs or self.spfs, self.keys_per_pair
+        )
 
-    def _spf_derivative(self, phis, ci, ints):
-        """i φ̇ = (1−P)ρ⁻¹ Σ_r ⟨H⟩_mf h^prim φ (reference
-        ``derivatives_SPF``, ``_spf_cls.py:192-309``)."""
-        derivs = []
-        basinfo = self.model.basinfo
-        for idof in range(self.ndof):
-            phi = phis[idof]
-            rho = ci_density(ci, idof)
-            # regularised inverse (reference _helper.py:125)
-            w, v = jnp.linalg.eigh(rho)
-            w = w + self.epsrho * jnp.exp(-w / self.epsrho)
-            rho_inv = (v / w[None, :]) @ v.conj().T
-            mf = ci_meanfield(ci, self.ham, ints, idof, self.nspf[idof])
-            bas = basinfo.get_primbas(0, idof)
-            acc = jnp.zeros_like(phi)
-            for weight, key in mf:
-                prim = jnp.asarray(
-                    op_matrix(bas, bas, key), jnp.complex128
-                )
-                acc = acc + weight @ (phi @ prim.T)
-            hphi = rho_inv @ acc
-            # project out the occupied SPF space: (1−P)
-            proj = phi.conj() @ hphi.T  # ⟨φ_j|hφ_l⟩
-            hphi = hphi - proj.T @ phi
-            derivs.append(-1j * hphi)
-        return derivs
+    def _flat(self, cis):
+        return jnp.concatenate([c.ravel() for c in cis])
 
-    def propagate(self, dt: float, one_gate_to_apply=None, kraus_op=None):
-        """One VMF step: CI half-SIL, SPF RK45, CI half-SIL (Strang)."""
-        ints = self._ints()
-        shape = self.ci.shape
+    def _unflat(self, vec):
+        out, ofs = [], 0
+        for i in range(self.nstate):
+            sz = int(np.prod(self.nspf[i]))
+            out.append(vec[ofs:ofs + sz].reshape(self.nspf[i]))
+            ofs += sz
+        return out
+
+    def _propagate_ci(self, cis, ints, scale):
+        """exp(scale·H)·A via the on-device Krylov propagator."""
 
         def mv(vec):
-            return ci_matvec(vec.reshape(shape), self.ham, ints).ravel()
+            return self._flat(
+                ci_matvec_ms(self._unflat(vec), self.ham, ints, self.ndof)
+            )
 
-        self.ci = krylov_expm(
-            mv, self.ci.ravel(), -0.5j * dt, self.config.thresh_exp,
-            conserve_norm=True,
-        ).reshape(shape)
+        flat = krylov_expm(
+            mv, self._flat(cis), scale, self.config.thresh_exp,
+            conserve_norm=self.config.conserve_norm
+            and self.config.space == "hilbert",
+        )
+        return self._unflat(flat)
 
-        # SPF propagation with frozen mean fields (CMF-style split)
-        phis = list(self.spf.phis)
-        flat = jnp.concatenate([p.ravel() for p in phis])
-        sizes = [p.size for p in phis]
-        shapes = [p.shape for p in phis]
+    # --------------------------------------------------------- SPF motion
+    def _mfop(self, cis, ints):
+        """Frozen mean-field data: ρ per state/dof + mean-field weights
+        (reference ``construct_mfop``)."""
+        rho = [
+            [ci_density(cis[i], d) for d in range(self.ndof)]
+            for i in range(self.nstate)
+        ]
+        terms = [
+            ci_meanfield_ms(cis, self.ham, ints, d, self.ndof)
+            for d in range(self.ndof)
+        ]
+        return {"rho": rho, "terms": terms}
+
+    def _rho_inv(self, rho):
+        # regularised inverse (reference _helper.py:125)
+        w, v = jnp.linalg.eigh(rho)
+        w = w + self.epsrho * jnp.exp(-w / self.epsrho)
+        return (v / w[None, :]) @ v.conj().T
+
+    def _spf_derivative_frozen(self, phis_all, mfop):
+        """i φ̇ = (1−P)ρ⁻¹ Σ_j W^{ij} φ^j h_prim ᵀ with FROZEN (ρ, W)
+        — the CMF constant-mean-field EOM (reference ``_spf_cls.py:192-309``).
+        ``phis_all[i][d]`` is state i's SPF matrix for dof d."""
+        basinfo = self.model.basinfo
+        derivs = []
+        for i in range(self.nstate):
+            state_derivs = []
+            for idof in range(self.ndof):
+                phi = phis_all[i][idof]
+                rho_inv = self._rho_inv(mfop["rho"][i][idof])
+                acc = jnp.zeros_like(phi)
+                for (w, key, j) in mfop["terms"][idof][i]:
+                    bas_i = basinfo.get_primbas(i, idof)
+                    bas_j = basinfo.get_primbas(j, idof)
+                    prim = jnp.asarray(
+                        op_matrix(bas_i, bas_j, key), jnp.complex128
+                    )
+                    acc = acc + w @ (phis_all[j][idof] @ prim.T)
+                hphi = rho_inv @ acc
+                proj = phi.conj() @ hphi.T  # ⟨φ_j|hφ_l⟩
+                hphi = hphi - proj.T @ phi
+                state_derivs.append(-1j * hphi)
+            derivs.append(state_derivs)
+        return derivs
+
+    def _propagate_spfs(self, spfs, mfop, dt):
+        """Propagate every state's SPFs under frozen mean fields."""
+        phis_all = [list(s.phis) for s in spfs]
+        sizes, shapes = [], []
+        flat_parts = []
+        for ps in phis_all:
+            for p in ps:
+                sizes.append(p.size)
+                shapes.append(p.shape)
+                flat_parts.append(p.ravel())
+        flat = jnp.concatenate(flat_parts)
+
+        def unpack(y):
+            out, ofs, k = [], 0, 0
+            for i in range(self.nstate):
+                ps = []
+                for _ in range(self.ndof):
+                    ps.append(y[ofs:ofs + sizes[k]].reshape(shapes[k]))
+                    ofs += sizes[k]
+                    k += 1
+                out.append(ps)
+            return out
 
         def f(y):
-            ps, ofs = [], 0
-            for sz, sh in zip(sizes, shapes):
-                ps.append(y[ofs:ofs + sz].reshape(sh))
-                ofs += sz
-            ds = self._spf_derivative(ps, self.ci, ints)
-            return jnp.concatenate([d.ravel() for d in ds])
+            ds = self._spf_derivative_frozen(unpack(y), mfop)
+            return jnp.concatenate(
+                [d.ravel() for state in ds for d in state]
+            )
 
         flat = ode_propagate(f, flat, dt, tol=self.config.thresh_exp)
-        ofs = 0
-        for k, (sz, sh) in enumerate(zip(sizes, shapes)):
-            self.spf.phis[k] = flat[ofs:ofs + sz].reshape(sh)
-            ofs += sz
-        self.spf.gram_schmidt()
+        new = unpack(flat)
+        return [SPFCoef(ps) for ps in new]
+
+    # ------------------------------------------------------------ VMF step
+    def propagate(self, dt: float, one_gate_to_apply=None, kraus_op=None):
+        """One VMF step: CI half-SIL, SPF RK45, CI half-SIL (Strang)."""
+        scale = (
+            -0.5 * dt if self.config.relax == "imaginary" else -0.5j * dt
+        )
+        ints = self._ints()
+        self.cis = self._propagate_ci(self.cis, ints, scale)
+
+        # SPF propagation with mean fields recomputed per RK stage from the
+        # frozen CI (VMF-style split)
+        mfop = self._mfop(self.cis, ints)
+        self.spfs = self._propagate_spfs(self.spfs, mfop, dt)
+        for s in self.spfs:
+            s.gram_schmidt()
 
         ints = self._ints()
+        self.cis = self._propagate_ci(self.cis, ints, scale)
 
-        def mv2(vec):
-            return ci_matvec(vec.reshape(shape), self.ham, ints).ravel()
+    # ------------------------------------------------------------ CMF step
+    def propagate_CMF(self, stepsize_guess: float):
+        """One constant-mean-field step with adaptive step-size control.
 
-        self.ci = krylov_expm(
-            mv2, self.ci.ravel(), -0.5j * dt, self.config.thresh_exp,
-            conserve_norm=True,
-        ).reshape(shape)
+        Implements the reference's predictor/corrector error control
+        (``/root/reference/pytdscf/wavefunction.py:418-586``): the SPF error
+        compares half-steps driven by MFOP(t=0) vs MFOP(t=h/2); the CI error
+        back-propagates the half-stepped CI with the t=h integrals; both
+        shrink the step by Beck's 0.7·(tol/err)^0.25 rule and grow the next
+        guess by ≤1.5×.  Returns ``(stepsize_actual, stepsize_next)``.
+        """
+        tol = self.config.tol_cmf
+        h_max = self.config.max_stepsize
+        h = min(stepsize_guess, h_max)
+        ints0 = self._ints()
+        mfop0 = self._mfop(self.cis, ints0)
+        scale = (
+            -0.5 if self.config.relax == "imaginary" else -0.5j
+        )
+
+        while True:
+            # --- inner loop: SPF error control -------------------------
+            while True:
+                # (1) CI(t=0 → h/2) with IntsSPF(t=0)
+                cis_half = self._propagate_ci(self.cis, ints0, scale * h)
+                # (2) SPF(t=0 → h/2) with MFOP(t=0)
+                spfs_approx = self._propagate_spfs(self.spfs, mfop0, h / 2)
+                # MFOP at t=h/2 from the half-stepped CI
+                mfop_half = self._mfop(cis_half, ints0)
+                # (3) SPF(t=0 → h/2) with MFOP(t=h/2)
+                spfs_half = self._propagate_spfs(self.spfs, mfop_half, h / 2)
+                err_spf = 1.0e-16
+                for i in range(self.nstate):
+                    for d in range(self.ndof):
+                        diff = (
+                            spfs_approx[i].phis[d] - spfs_half[i].phis[d]
+                        )
+                        rho = mfop0["rho"][i][d]
+                        err_spf += float(
+                            jnp.einsum(
+                                "kp,kl,lp->", diff.conj(), rho, diff
+                            ).real
+                        )
+                if err_spf < tol * 2.0:
+                    h_next = min(
+                        h * min(1.5, ((tol * 2.0) / err_spf) ** 0.25),
+                        h_max,
+                    )
+                    break
+                h = min(h * ((tol * 2.0) / err_spf) ** 0.25 * 0.7, h_max)
+
+            # (4) SPF(t=h/2 → h) with MFOP(t=h/2)
+            spfs_full = self._propagate_spfs(spfs_half, mfop_half, h / 2)
+            ints_full = self._ints(spfs_full)
+            # (5) CI back-propagation (t=h/2 → 0) with IntsSPF(t=h)
+            cis_back = self._propagate_ci(cis_half, ints_full, -scale * h)
+            err_ci = 0.25 * sum(
+                float(jnp.linalg.norm((a - b).ravel()) ** 2)
+                for a, b in zip(self.cis, cis_back)
+            )
+            if (err_ci + err_spf) < tol * 2.0:
+                h_next = min(
+                    h * min(1.5, ((tol * 2.0) / (err_spf + err_ci)) ** 0.25),
+                    h_max,
+                )
+                break
+            h = min(h * (tol / (err_spf + err_ci)) ** 0.25 * 0.7, h_max)
+
+        # (6) CI(t=h/2 → h) with IntsSPF(t=h); commit
+        self.cis = self._propagate_ci(cis_half, ints_full, scale * h)
+        self.spfs = spfs_full
+        return h, h_next
 
     # ---------------------------------------------------------- observables
     def expectation(self, op=None) -> complex:
         ham = self.ham if op is None or op is self.ham else op
-        ints = SPFInts(
-            self.model.basinfo, self.spf,
-            [
-                {k for t in ham.general[0][0] + ham.onesite[0][0]
-                 for d, k in t.mode_ops.items() if d == idof}
-                for idof in range(self.ndof)
-            ],
+        keys_per_pair = {}
+        for i in range(ham.nstate):
+            for j in range(ham.nstate):
+                terms = ham.general[i][j] + ham.onesite[i][j]
+                if not terms and ham.coupleJ[i][j] == 0.0:
+                    continue
+                keys = [set() for _ in range(self.ndof)]
+                for term in terms:
+                    for d, k in term.mode_ops.items():
+                        keys[d].add(k)
+                keys_per_pair[(i, j)] = keys
+        ints = SPFInts(self.model.basinfo, self.spfs, keys_per_pair)
+        hcis = ci_matvec_ms(self.cis, ham, ints, self.ndof)
+        return complex(
+            sum(jnp.vdot(c, hc) for c, hc in zip(self.cis, hcis))
         )
-        hci = ci_matvec(self.ci, ham, ints)
-        return complex(jnp.vdot(self.ci, hci))
 
     def autocorr(self) -> complex:
         # ⟨Ψ(0)*|Ψ(t)⟩ (T/2 trick needs SPF overlaps of φ* with φ)
-        ov = jnp.asarray(1.0 + 0.0j)
-        ci_t = self.ci
-        for idof in range(self.ndof):
-            s = self.spf.phis[idof] @ self.spf.phis[idof].T
-            ci_t = jnp.tensordot(s, ci_t, axes=(1, idof))
-            ci_t = jnp.moveaxis(ci_t, 0, idof)
-        return complex(jnp.tensordot(self.ci, ci_t, axes=self.ci.ndim))
+        total = 0.0 + 0.0j
+        for i in range(self.nstate):
+            ci_t = self.cis[i]
+            for idof in range(self.ndof):
+                s = self.spfs[i].phis[idof] @ self.spfs[i].phis[idof].T
+                ci_t = jnp.tensordot(s, ci_t, axes=(1, idof))
+                ci_t = jnp.moveaxis(ci_t, 0, idof)
+            total += complex(
+                jnp.tensordot(self.cis[i], ci_t, axes=self.cis[i].ndim)
+            )
+        return total
 
     def norm(self) -> float:
-        return float(jnp.linalg.norm(self.ci))
+        return float(
+            math.sqrt(
+                sum(float(jnp.linalg.norm(c)) ** 2 for c in self.cis)
+            )
+        )
 
     def pop_states(self) -> list[float]:
-        return [self.norm() ** 2]
+        return [float(jnp.linalg.norm(c)) ** 2 for c in self.cis]
 
     def bond_dims(self) -> list[int]:
-        return list(self.nspf)
+        return list(self.nspf[0])
 
     def reduced_density(self, remain_nleg, istate=0):
         """ρ in the PRIMITIVE basis for kept DOFs (nleg=2 sites)."""
@@ -333,12 +578,14 @@ class MCTDHEngine:
         if len(keep) != 1:
             raise NotImplementedError("MCTDH RDM: one kept DOF")
         d = keep[0]
-        rho_spf = ci_density(self.ci, d).T
-        phi = self.spf.phis[d]
+        rho_spf = ci_density(self.cis[istate], d).T
+        phi = self.spfs[istate].phis[d]
         return np.asarray(phi.T @ rho_spf @ phi.conj())
 
     def to_numpy(self):
         return {
-            "ci": np.asarray(self.ci),
-            "spf": [np.asarray(p) for p in self.spf.phis],
+            "ci": [np.asarray(c) for c in self.cis],
+            "spf": [
+                [np.asarray(p) for p in s.phis] for s in self.spfs
+            ],
         }

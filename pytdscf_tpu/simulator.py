@@ -116,6 +116,9 @@ class Simulator:
         integrator: Literal["lanczos", "arnoldi"] = "lanczos",
         display_time_unit: Literal["fs", "ps", "au"] = "fs",
         conserve_norm: bool = True,
+        cmf: bool = False,
+        tol_cmf: float = 1.0e-14,
+        max_stepsize: float = 0.010,
     ) -> tuple[Any, WaveFunction]:
         dt_au = (Δt if Δt is not None else stepsize) / units.au_in_fs
         config = Config(
@@ -131,6 +134,9 @@ class Simulator:
             adaptive_p_proj=adaptive_p_proj,
             adaptive_p_svd=adaptive_p_svd,
             display_time_unit=display_time_unit,
+            cmf=cmf,
+            tol_cmf=tol_cmf,
+            max_stepsize=max_stepsize / units.au_in_fs,
         )
         return self._execute(
             config,
@@ -376,6 +382,7 @@ class Simulator:
         )
         self._save(engine, config.jobname, savefile_ext)
         logger.info(f"Start initial step  0.000 [{config.display_time_unit}]")
+        cmf_guess_au = None
         for istep in range(maxstep):
             with diag.timer("props"):
                 props.get_properties(
@@ -402,13 +409,30 @@ class Simulator:
                     self.model.build_td_hamiltonian(props.time + dt_au / 2)
                 )
             with diag.timer("sweep"):
-                engine.propagate(
-                    dt_au,
-                    one_gate_to_apply=self.model.one_gate_to_apply,
-                    kraus_op=self.model.kraus_op,
-                )
+                if config.cmf:
+                    if not hasattr(engine, "propagate_CMF"):
+                        raise NotImplementedError(
+                            "CMF propagation requires ci_type='mctdh'"
+                        )
+                    # reference seeds the guess at 1e-3 fs
+                    # (simulator_cls.py:393) and each step returns the
+                    # grown/shrunk guess for the next one
+                    if cmf_guess_au is None:
+                        cmf_guess_au = min(
+                            1.0e-3 / units.au_in_fs, config.max_stepsize
+                        )
+                    dt_actual, cmf_guess_au = engine.propagate_CMF(
+                        cmf_guess_au
+                    )
+                else:
+                    engine.propagate(
+                        dt_au,
+                        one_gate_to_apply=self.model.one_gate_to_apply,
+                        kraus_op=self.model.kraus_op,
+                    )
+                    dt_actual = dt_au
             diag.count("steps")
-            props.update(dt_au)
+            props.update(dt_actual)
             if istep % 100 == 1 and self.verbose > 1:
                 kry = (
                     f"  AVG Krylov = {engine.krylov_average():.2f}"
