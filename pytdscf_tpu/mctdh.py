@@ -248,6 +248,76 @@ def ci_meanfield_ms(
     return out
 
 
+def regularized_inverse(rho, epsrho: float):
+    """ρ⁻¹ with the reference's exponential regularisation
+    (``_helper.py:125``)."""
+    w, v = jnp.linalg.eigh(rho)
+    w = w + epsrho * jnp.exp(-w / epsrho)
+    return (v / w[None, :]) @ v.conj().T
+
+
+def spf_derivative_frozen(basinfo, nstate, ndof, epsrho, phis_all, mfop):
+    """i φ̇ = (1−P)ρ⁻¹ Σ_j W^{ij} φ^j h_prim ᵀ with FROZEN (ρ, W)
+    — the constant-mean-field EOM (reference ``_spf_cls.py:192-309``).
+    ``phis_all[i][d]`` is state i's SPF matrix for dof d; shared by the
+    MCTDH engine and the MPS-MCTDH hybrid."""
+    derivs = []
+    for i in range(nstate):
+        state_derivs = []
+        for idof in range(ndof):
+            phi = phis_all[i][idof]
+            rho_inv = regularized_inverse(mfop["rho"][i][idof], epsrho)
+            acc = jnp.zeros_like(phi)
+            for (w, key, j) in mfop["terms"][idof][i]:
+                bas_i = basinfo.get_primbas(i, idof)
+                bas_j = basinfo.get_primbas(j, idof)
+                prim = jnp.asarray(
+                    op_matrix(bas_i, bas_j, key), jnp.complex128
+                )
+                acc = acc + w @ (phis_all[j][idof] @ prim.T)
+            hphi = rho_inv @ acc
+            proj = phi.conj() @ hphi.T  # ⟨φ_j|hφ_l⟩
+            hphi = hphi - proj.T @ phi
+            state_derivs.append(-1j * hphi)
+        derivs.append(state_derivs)
+    return derivs
+
+
+def propagate_spfs(
+    basinfo, nstate, ndof, epsrho, spfs, mfop, dt, tol: float = 1.0e-09
+):
+    """Propagate every state's SPFs under frozen mean fields (RK45)."""
+    phis_all = [list(s.phis) for s in spfs]
+    sizes, shapes = [], []
+    flat_parts = []
+    for ps in phis_all:
+        for p in ps:
+            sizes.append(p.size)
+            shapes.append(p.shape)
+            flat_parts.append(p.ravel())
+    flat = jnp.concatenate(flat_parts)
+
+    def unpack(y):
+        out, ofs, k = [], 0, 0
+        for i in range(nstate):
+            ps = []
+            for _ in range(ndof):
+                ps.append(y[ofs:ofs + sizes[k]].reshape(shapes[k]))
+                ofs += sizes[k]
+                k += 1
+            out.append(ps)
+        return out
+
+    def f(y):
+        ds = spf_derivative_frozen(
+            basinfo, nstate, ndof, epsrho, unpack(y), mfop
+        )
+        return jnp.concatenate([d.ravel() for state in ds for d in state])
+
+    flat = ode_propagate(f, flat, dt, tol=tol)
+    return [SPFCoef(ps) for ps in unpack(flat)]
+
+
 class MCTDHEngine:
     """VMF/CMF-propagated MCTDH wavefunction (CI ⊗ SPF per electronic
     state) with the Simulator interface (propagate / propagate_CMF /
@@ -369,69 +439,19 @@ class MCTDHEngine:
         return {"rho": rho, "terms": terms}
 
     def _rho_inv(self, rho):
-        # regularised inverse (reference _helper.py:125)
-        w, v = jnp.linalg.eigh(rho)
-        w = w + self.epsrho * jnp.exp(-w / self.epsrho)
-        return (v / w[None, :]) @ v.conj().T
+        return regularized_inverse(rho, self.epsrho)
 
     def _spf_derivative_frozen(self, phis_all, mfop):
-        """i φ̇ = (1−P)ρ⁻¹ Σ_j W^{ij} φ^j h_prim ᵀ with FROZEN (ρ, W)
-        — the CMF constant-mean-field EOM (reference ``_spf_cls.py:192-309``).
-        ``phis_all[i][d]`` is state i's SPF matrix for dof d."""
-        basinfo = self.model.basinfo
-        derivs = []
-        for i in range(self.nstate):
-            state_derivs = []
-            for idof in range(self.ndof):
-                phi = phis_all[i][idof]
-                rho_inv = self._rho_inv(mfop["rho"][i][idof])
-                acc = jnp.zeros_like(phi)
-                for (w, key, j) in mfop["terms"][idof][i]:
-                    bas_i = basinfo.get_primbas(i, idof)
-                    bas_j = basinfo.get_primbas(j, idof)
-                    prim = jnp.asarray(
-                        op_matrix(bas_i, bas_j, key), jnp.complex128
-                    )
-                    acc = acc + w @ (phis_all[j][idof] @ prim.T)
-                hphi = rho_inv @ acc
-                proj = phi.conj() @ hphi.T  # ⟨φ_j|hφ_l⟩
-                hphi = hphi - proj.T @ phi
-                state_derivs.append(-1j * hphi)
-            derivs.append(state_derivs)
-        return derivs
+        return spf_derivative_frozen(
+            self.model.basinfo, self.nstate, self.ndof, self.epsrho,
+            phis_all, mfop,
+        )
 
     def _propagate_spfs(self, spfs, mfop, dt):
-        """Propagate every state's SPFs under frozen mean fields."""
-        phis_all = [list(s.phis) for s in spfs]
-        sizes, shapes = [], []
-        flat_parts = []
-        for ps in phis_all:
-            for p in ps:
-                sizes.append(p.size)
-                shapes.append(p.shape)
-                flat_parts.append(p.ravel())
-        flat = jnp.concatenate(flat_parts)
-
-        def unpack(y):
-            out, ofs, k = [], 0, 0
-            for i in range(self.nstate):
-                ps = []
-                for _ in range(self.ndof):
-                    ps.append(y[ofs:ofs + sizes[k]].reshape(shapes[k]))
-                    ofs += sizes[k]
-                    k += 1
-                out.append(ps)
-            return out
-
-        def f(y):
-            ds = self._spf_derivative_frozen(unpack(y), mfop)
-            return jnp.concatenate(
-                [d.ravel() for state in ds for d in state]
-            )
-
-        flat = ode_propagate(f, flat, dt, tol=self.config.thresh_exp)
-        new = unpack(flat)
-        return [SPFCoef(ps) for ps in new]
+        return propagate_spfs(
+            self.model.basinfo, self.nstate, self.ndof, self.epsrho,
+            spfs, mfop, dt, tol=self.config.thresh_exp,
+        )
 
     # ------------------------------------------------------------ VMF step
     def propagate(self, dt: float, one_gate_to_apply=None, kraus_op=None):

@@ -229,6 +229,14 @@ class Simulator:
             from pytdscf_tpu.mctdh import MCTDHEngine
 
             return MCTDHEngine(self.model, config)
+        if not self.model.basinfo.is_standard_method:
+            # nspf < nprim with an MPS ansatz → MPS-MCTDH hybrid (reference
+            # "non-standard method", model_cls.py:344-347 / _mps_sop.py)
+            if restart:
+                raise NotImplementedError("MPS-MCTDH restart")
+            from pytdscf_tpu.mps_mctdh import MPSMCTDHEngine
+
+            return MPSMCTDHEngine(self.model, config)
         if restart:
             path = resolve_checkpoint(f"wf_{self.jobname}{loadfile_ext}.pkl")
             if path is None:
