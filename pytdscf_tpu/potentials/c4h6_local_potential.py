@@ -1,0 +1,6 @@
+"""Data shim: see pytdscf_tpu/potentials/_tables.py (reference
+pytdscf/potentials/c4h6_local_potential.py)."""
+from pytdscf_tpu.potentials._tables import load as _load
+
+globals().update(_load("c4h6_local_potential"))
+del _load

@@ -1,0 +1,6 @@
+"""Data shim: see pytdscf_tpu/potentials/_tables.py (reference
+pytdscf/potentials/wat3_dipole.py)."""
+from pytdscf_tpu.potentials._tables import load as _load
+
+globals().update(_load("wat3_dipole"))
+del _load
