@@ -47,8 +47,12 @@ def main() -> None:
 
     n_left = int(os.environ.get("BENCH_NL", "61"))
     n_right = int(os.environ.get("BENCH_NR", "122"))
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    # ≥100 timed steps: SIL depth grows along the trajectory (reference
+    # telemetry 0.04 → 4.77), so short cold-start timings flatter the
+    # result; 100 steps gives an honest steady-state average.
+    steps = int(os.environ.get("BENCH_STEPS", "100"))
     bond = int(os.environ.get("BENCH_BOND", "30"))
+    scan = os.environ.get("BENCH_SCAN", "1") != "0"
 
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
@@ -76,6 +80,7 @@ def main() -> None:
         thresh_exp=1.0e-06 if on_tpu else 1.0e-09,
         max_krylov=int(os.environ.get("BENCH_KRYLOV", "10")),
         dtype=dtype,
+        scan_sweep=scan,
     )
     engine = TDVPEngine(cores, ham, config)
     dt_au = 0.2 / units.au_in_fs
@@ -90,8 +95,10 @@ def main() -> None:
         engine.propagate(dt_au)
     engine.cores[0][0].block_until_ready()
     sec_per_step = (time.time() - t0) / steps
+    avg_k, calls, capped = engine.krylov_stats()
     log(f"bench: {sec_per_step:.3f} s/step over {steps} steps "
-        f"(energy={engine.expectation().real:.8f})")
+        f"(energy={engine.expectation().real:.8f}, AVG Krylov {avg_k:.2f}, "
+        f"cap hits {capped}/{calls})")
 
     print(json.dumps({
         "metric": "singlet_fission_184site_tdvp_sec_per_step",

@@ -50,6 +50,9 @@ class Config:
     pytest_enabled: bool = False
     #: Computation dtype for the tensor network.
     dtype: str = "complex128"
+    #: Compile uniform bulk-site runs of the TDVP half-sweep into one
+    #: ``lax.scan`` program (amortises dispatch + warmup on long chains).
+    scan_sweep: bool = False
     #: CMF (constant-mean-field) adaptive-step propagation for MCTDH
     #: (reference ``wavefunction.propagate_CMF``).
     cmf: bool = False

@@ -16,6 +16,8 @@ Index conventions: site tensor ``psi[l, n, r]``; MPO core ``W[a, i, j, b]``
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -166,3 +168,20 @@ def split_states(vec: jax.Array, shapes) -> list[jax.Array]:
         out.append(jax.lax.dynamic_slice_in_dim(vec, ofs, n).reshape(sh))
         ofs += n
     return out
+
+
+@jax.jit
+def _stack_leading(xs):
+    return jnp.stack(xs, axis=0)
+
+
+def stack_leading(xs) -> jax.Array:
+    """Stack same-shape arrays along a new leading (scan) axis — jitted so
+    complex arrays never dispatch eagerly (TPU-hostile)."""
+    return _stack_leading(tuple(xs))
+
+
+@partial(jax.jit, static_argnames=("t",))
+def take_leading(x: jax.Array, t: int) -> jax.Array:
+    """``x[t]`` along the leading axis, jitted (complex-safe slicing)."""
+    return x[t]

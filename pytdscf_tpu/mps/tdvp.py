@@ -96,20 +96,7 @@ def _ground_state_multi(mv, v0):
 
 
 # ------------------------------------------------------------- site steps
-@partial(
-    jax.jit,
-    static_argnames=(
-        "pairs",
-        "nstate",
-        "mode",
-        "conserve_norm",
-        "arnoldi",
-        "max_dim",
-        "last",
-        "forward",
-    ),
-)
-def _site_step(
+def _site_step_impl(
     psis,
     next_cores,
     Ls,
@@ -236,6 +223,89 @@ def _site_step(
     return sites_out, psi_next, blocks_new, logs_new, kry_count
 
 
+_site_step = partial(
+    jax.jit,
+    static_argnames=(
+        "pairs",
+        "nstate",
+        "mode",
+        "conserve_norm",
+        "arnoldi",
+        "max_dim",
+        "last",
+        "forward",
+    ),
+)(_site_step_impl)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "pairs",
+        "nstate",
+        "mode",
+        "conserve_norm",
+        "arnoldi",
+        "max_dim",
+        "forward",
+    ),
+)
+def _scan_site_steps(
+    psis,
+    next_stack,
+    Ws_stack,
+    env_blocks_stack,
+    env_logs_stack,
+    sys_blocks,
+    sys_logs,
+    scale,
+    thresh,
+    *,
+    pairs: tuple[Pair, ...],
+    nstate: int,
+    mode: str,
+    conserve_norm: bool,
+    arnoldi: bool,
+    max_dim: int,
+    forward: bool,
+):
+    """A RUN of uniform-shape site steps as ONE ``lax.scan`` program.
+
+    Amortises per-site dispatch and warm-up compilation over the uniform
+    bulk of long chains (SURVEY §7 design; at D≈30 the per-site programs
+    are dispatch-bound).  All stacked inputs share a leading run axis; the
+    carry is (current ψ, growing system blocks/logs, Krylov telemetry),
+    whose shapes are run-invariant by construction (the driver only forms
+    runs over sites with identical core/MPO/environment shapes).
+    """
+
+    def body(carry, xs):
+        psis_c, sblocks, slogs, kry_sum = carry
+        W, nxt, eblocks, elogs = xs
+        if forward:
+            Ls, Rs, lLs, lRs = sblocks, eblocks, slogs, elogs
+        else:
+            Ls, Rs, lLs, lRs = eblocks, sblocks, elogs, slogs
+        sites_out, psi_next, blocks_new, logs_new, kry = _site_step_impl(
+            psis_c, nxt, Ls, W, Rs, scale, thresh, lLs, lRs,
+            pairs=pairs, nstate=nstate, mode=mode,
+            conserve_norm=conserve_norm, arnoldi=arnoldi,
+            max_dim=max_dim, last=False, forward=forward,
+        )
+        return (
+            (psi_next, blocks_new, logs_new, kry_sum + kry),
+            (sites_out, blocks_new, logs_new),
+        )
+
+    kry0 = jnp.zeros((3,), jnp.int32)
+    carry, ys = jax.lax.scan(
+        body,
+        (psis, sys_blocks, sys_logs, kry0),
+        (Ws_stack, next_stack, env_blocks_stack, env_logs_stack),
+    )
+    return carry, ys
+
+
 @partial(jax.jit, static_argnames=("pairs", "forward"))
 def _renorm_blocks(blocks, bras, Ws, kets, *, pairs, forward):
     """Environment-block transfer for all state pairs at one site."""
@@ -351,6 +421,51 @@ class TDVPEngine:
         return stack
 
     # ------------------------------------------------------------ sweeps
+    def _site_sig(self, p: int, forward: bool):
+        """Shape signature deciding scan-run membership for site ``p``."""
+        q = p + 1 if forward else p - 1
+        return (
+            tuple(self.cores[i][p].shape for i in range(self.nstate)),
+            tuple(self.cores[i][q].shape for i in range(self.nstate)),
+            tuple(self.W[pair][p].shape for pair in self.pairs),
+        )
+
+    def _scan_runs(
+        self, order: list[int], forward: bool, env_stack
+    ) -> dict[int, int]:
+        """{start-position-in-order: run length} of uniform-shape runs.
+
+        A run requires identical core shapes at every site AND its
+        successor (the scan carry ψ must be shape-invariant), identical
+        MPO core shapes, and identical environment-block shapes; the
+        system blocks entering the run must already have bulk shape (so
+        the first site after the boundary ramp is excluded naturally).
+        """
+
+        def sig(k: int):
+            env = env_stack[-1 - k][0]
+            return self._site_sig(order[k], forward) + (
+                tuple(b.shape for b in env),
+            )
+
+        runs: dict[int, int] = {}
+        k = 1  # position 0 can never scan: trivial (1,1,1) system blocks
+        while k < len(order) - 1:
+            s = sig(k)
+            # entering system blocks == what this run keeps producing?
+            if sig(k - 1)[:3] != s[:3]:
+                k += 1
+                continue
+            m = k
+            while m + 1 < len(order) - 1 and sig(m + 1) == s:
+                m += 1
+            if m - k + 1 >= 4:
+                runs[k] = m - k + 1
+                k = m + 1
+            else:
+                k += 1
+        return runs
+
     def _half_sweep(self, scale, forward: bool, mode: str) -> None:
         cfg = self.config
         if self.env_stack is None:
@@ -361,15 +476,82 @@ class TDVPEngine:
             )
         env_stack = self.env_stack
         sys_stack = [(self._trivial_block(), self._zero_logs())]
-        order = (
+        order = list(
             range(self.nsite)
             if forward
             else range(self.nsite - 1, -1, -1)
         )
+        runs = (
+            self._scan_runs(order, forward, env_stack)
+            if cfg.scan_sweep
+            else {}
+        )
         sys_blocks, sys_logs = sys_stack[0]
-        for p in order:
+        static = dict(
+            pairs=self.pairs,
+            nstate=self.nstate,
+            mode=mode,
+            conserve_norm=cfg.conserve_norm,
+            arnoldi=cfg.integrator == "arnoldi",
+            max_dim=cfg.max_krylov,
+        )
+        pos = 0
+        while pos < len(order):
+            p = order[pos]
+            last = pos == len(order) - 1
+            nrun = runs.get(pos, 0)
+            if nrun:
+                ps = order[pos:pos + nrun]
+                env_entries = [env_stack.pop() for _ in ps]
+                nxts = [
+                    self._psis(pp + 1 if forward else pp - 1) for pp in ps
+                ]
+                Ws_stack = tuple(
+                    K.stack_leading([self.W[pair][pp] for pp in ps])
+                    for pair in self.pairs
+                )
+                next_stack = tuple(
+                    K.stack_leading([nx[i] for nx in nxts])
+                    for i in range(self.nstate)
+                )
+                env_blocks_stack = tuple(
+                    K.stack_leading([e[0][q] for e in env_entries])
+                    for q in range(len(self.pairs))
+                )
+                env_logs_stack = tuple(
+                    K.stack_leading([e[1][q] for e in env_entries])
+                    for q in range(len(self.pairs))
+                )
+                carry, ys = _scan_site_steps(
+                    self._psis(p), next_stack, Ws_stack,
+                    env_blocks_stack, env_logs_stack,
+                    sys_blocks, sys_logs, scale, cfg.thresh_exp,
+                    forward=forward, **static,
+                )
+                psi_next, sys_blocks, sys_logs, kry = carry
+                self._kry_sum = (
+                    kry if self._kry_sum is None else self._kry_sum + kry
+                )
+                ys_sites, ys_blocks, ys_logs = ys
+                for t, pp in enumerate(ps):
+                    for i in range(self.nstate):
+                        self.cores[i][pp] = K.take_leading(ys_sites[i], t)
+                    sys_stack.append((
+                        tuple(
+                            K.take_leading(ys_blocks[q], t)
+                            for q in range(len(self.pairs))
+                        ),
+                        tuple(
+                            K.take_leading(ys_logs[q], t)
+                            for q in range(len(self.pairs))
+                        ),
+                    ))
+                q_next = ps[-1] + 1 if forward else ps[-1] - 1
+                for i in range(self.nstate):
+                    self.cores[i][q_next] = psi_next[i]
+                pos += nrun
+                continue
             env_blocks, env_logs = env_stack.pop()
-            last = p == (self.nsite - 1 if forward else 0)
             nxt = None if last else self._psis(p + 1 if forward else p - 1)
             Ls = sys_blocks if forward else env_blocks
             Rs = env_blocks if forward else sys_blocks
@@ -385,14 +567,9 @@ class TDVPEngine:
                 cfg.thresh_exp,
                 lLs,
                 lRs,
-                pairs=self.pairs,
-                nstate=self.nstate,
-                mode=mode,
-                conserve_norm=cfg.conserve_norm,
-                arnoldi=cfg.integrator == "arnoldi",
-                max_dim=cfg.max_krylov,
                 last=last,
                 forward=forward,
+                **static,
             )
             self._kry_sum = kry if self._kry_sum is None else self._kry_sum + kry
             for i in range(self.nstate):
@@ -403,6 +580,7 @@ class TDVPEngine:
                     self.cores[i][q] = psi_next[i]
                 sys_blocks, sys_logs = blocks_new, logs_new
                 sys_stack.append((blocks_new, logs_new))
+            pos += 1
         self.env_stack = sys_stack
 
     # ------------------------------------------------ adaptive (a1TDVP)
