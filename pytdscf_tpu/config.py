@@ -42,6 +42,15 @@ class Config:
     adaptive_dD: int = 5
     adaptive_p_proj: float = 1.0e-04
     adaptive_p_svd: float = 1.0e-07
+    #: Masked fixed-buffer a1TDVP: bonds padded to static caps, live rank
+    #: carried as exact-zero channels — no host syncs or shape retraces
+    #: inside the sweep (the TPU-native adaptive path).
+    adaptive_masked: bool = False
+    #: Matmul-pass precision for the Krylov matvecs only ("highest" =
+    #: bf16x6/f32-exact, "high" = bf16x3 ~1e-6 rel at ~2× MXU speed,
+    #: "default" = one bf16 pass).  Environment-block recursions always
+    #: stay at HIGHEST (their error compounds over the chain).
+    matvec_precision: str = "highest"
     #: SVD regularisation floor for gauge moves (reference ``epsrho``).
     epsrho: float = 1.0e-08
     #: Display unit for exported time axes.

@@ -64,14 +64,70 @@ def _mgs_qr(m: jax.Array) -> tuple[jax.Array, jax.Array]:
     return Q, R
 
 
+def _cholesky_qr(
+    m: jax.Array, shift_rel: float = 1.0e-06, iters: int = 3
+) -> tuple[jax.Array, jax.Array]:
+    """Thin QR by shifted CholeskyQR³ — the large-bond TPU gauge kernel.
+
+    Three rounds of (Gram → shifted Cholesky → triangular solve), all
+    MXU-shaped ops (measured ~5 ms for a 4096×1024 complex64 factor on one
+    v5e chip vs an unusable unrolled column loop for MGS).  Orthogonality
+    of the live columns lands at ~6e-7; exact-zero input columns stay
+    EXACTLY zero in Q and their R rows are zeroed, so ``Q·R = A`` holds to
+    f32 round-off even for the rank-deficient padded states the
+    masked-adaptive sweep carries (the dead-channel invariant
+    ``_adaptive_masked_site`` relies on).  Unlike ``jnp.linalg.qr`` on this
+    backend, no 1e9-scale junk enters null-space columns (dead channels
+    get a unit diagonal patch in the Gram matrix instead).
+    """
+    N, r = m.shape
+    live = jnp.sum(jnp.abs(m), axis=0) > 0
+    q = m
+    R_acc = None
+    # f32 Gram entries carry ~sqrt(N)·eps relative noise; columns whose
+    # true Gram eigenvalue sits below that floor can come out NEGATIVE,
+    # which breaks Cholesky (NaN).  Both shifts must clear the floor.
+    eps = jnp.finfo(m.real.dtype).eps
+    noise_floor = 16.0 * jnp.sqrt(jnp.asarray(float(N), m.real.dtype)) * eps
+    for it in range(iters):
+        g = jnp.einsum("ij,ik->jk", q.conj(), q, precision=PRECISION)
+        d = jnp.real(jnp.diag(g))
+        # first round: Fukaya-style shift for near-singular live columns;
+        # refinements: noise-floor shift only. Dead columns: unit diagonal.
+        rel = jnp.maximum(
+            jnp.asarray(shift_rel if it == 0 else 0.0, d.dtype), noise_floor
+        )
+        s = rel * jnp.maximum(jnp.max(d), jnp.asarray(1e-30, d.dtype))
+        g = g + jnp.diag(jnp.where(live, s, 1.0)).astype(g.dtype)
+        L = jnp.linalg.cholesky(g)
+        q = jax.lax.linalg.triangular_solve(
+            L, q, left_side=False, lower=True,
+            transpose_a=True, conjugate_a=True,
+        )
+        Rit = L.conj().T
+        R_acc = Rit if R_acc is None else Rit @ R_acc
+    q = jnp.where(live[None, :], q, 0.0)
+    R_acc = jnp.where(live[:, None], R_acc, 0.0)
+    return q, R_acc
+
+
+#: bond width above which the unrolled MGS loop is replaced by blocked
+#: CholeskyQR on accelerators (compile size and sequential-column latency
+#: both scale with r for MGS; CholeskyQR is three fused matmul rounds).
+CHOLESKY_QR_MIN_R = 192
+
+
 def thin_qr(mat: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Backend-safe thin QR (LAPACK on CPU, MGS elsewhere)."""
+    """Backend-safe thin QR (LAPACK on CPU, MGS / CholeskyQR³ elsewhere)."""
     return _thin_qr(mat)
 
 
 def _thin_qr(mat: jax.Array) -> tuple[jax.Array, jax.Array]:
     if jax.default_backend() == "cpu":
         return jnp.linalg.qr(mat)
+    N, r = mat.shape
+    if r >= CHOLESKY_QR_MIN_R and N >= r:
+        return _cholesky_qr(mat)
     return _mgs_qr(mat)
 
 
@@ -91,18 +147,39 @@ def lq_left(psi: jax.Array) -> tuple[jax.Array, jax.Array]:
     return rmat.T, q.reshape(r, n, -1).transpose(2, 1, 0)
 
 
-@jax.jit
+#: Matmul-pass precisions selectable for the Krylov matvec (the dominant
+#: large-χ cost): "highest" = bf16x6 (f32-exact, the default everywhere),
+#: "high" = bf16x3 (~1e-6 relative, ~2× faster on the MXU), "default" =
+#: single bf16 pass (~4e-3 — too coarse for TDVP, exposed for profiling).
+#: Environment-block recursions always stay at HIGHEST: their errors
+#: compound multiplicatively over the chain (see PRECISION above).
+PREC_MAP = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+@partial(jax.jit, static_argnames=("prec",))
 def heff_apply(
-    L: jax.Array, W: jax.Array, R: jax.Array, psi: jax.Array
+    L: jax.Array, W: jax.Array, R: jax.Array, psi: jax.Array,
+    prec: str = "highest",
 ) -> jax.Array:
     """σ[b, i, x] = Σ L[b,a,k] · W[a,i,j,c] · R[x,c,r] · ψ[k,j,r]."""
-    return jnp.einsum("bak,aijc,xcr,kjr->bix", L, W, R, psi, optimize=True, precision=PRECISION)
+    return jnp.einsum(
+        "bak,aijc,xcr,kjr->bix", L, W, R, psi, optimize=True,
+        precision=PREC_MAP[prec],
+    )
 
 
-@jax.jit
-def keff_apply(L: jax.Array, R: jax.Array, sig: jax.Array) -> jax.Array:
+@partial(jax.jit, static_argnames=("prec",))
+def keff_apply(
+    L: jax.Array, R: jax.Array, sig: jax.Array, prec: str = "highest"
+) -> jax.Array:
     """σ'[b, x] = Σ L[b,a,k] · R[x,a,r] · σ[k,r]."""
-    return jnp.einsum("bak,xar,kr->bx", L, R, sig, optimize=True, precision=PRECISION)
+    return jnp.einsum(
+        "bak,xar,kr->bx", L, R, sig, optimize=True, precision=PREC_MAP[prec]
+    )
 
 
 @jax.jit
@@ -185,3 +262,34 @@ def stack_leading(xs) -> jax.Array:
 def take_leading(x: jax.Array, t: int) -> jax.Array:
     """``x[t]`` along the leading axis, jitted (complex-safe slicing)."""
     return x[t]
+
+
+@partial(jax.jit, static_argnames=("left",))
+def gauge_error(core: jax.Array, left: bool) -> jax.Array:
+    """max |Q†Q − I| of a gauge move's output (left- or right-orthonormal)
+    — the reference validates canonicality inside the sweep when running
+    under pytest (``_site_cls.py:502-561``, ``const.pytest_enabled``)."""
+    l, n, r = core.shape
+    if left:
+        m = core.reshape(l * n, r)
+        g = m.conj().T @ m
+        eye = jnp.eye(r, dtype=g.dtype)
+    else:
+        m = core.reshape(l, n * r)
+        g = m @ m.conj().T
+        eye = jnp.eye(l, dtype=g.dtype)
+    return jnp.max(jnp.abs(g - eye))
+
+
+@jax.jit
+def active_rank(c: jax.Array) -> jax.Array:
+    """Number of exactly-nonzero right-bond channels of an (l, n, r) core."""
+    return jnp.sum(jnp.sum(jnp.abs(c), axis=(0, 1)) > 0).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("tl", "tr"))
+def pad_core(c: jax.Array, tl: int, tr: int) -> jax.Array:
+    """Zero-pad an (l, n, r) core to bond caps (tl, n, tr) — the masked
+    adaptive sweep carries live ranks as exact-zero channels."""
+    l, n, r = c.shape
+    return jnp.pad(c, ((0, tl - l), (0, 0), (0, tr - r)))

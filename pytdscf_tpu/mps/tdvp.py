@@ -32,7 +32,9 @@ Pair = tuple[int, int]
 
 
 # ---------------------------------------------------------------- matvecs
-def _make_hmatvec(pairs, Ls, Ws, Rs, shapes, nstate, dtype, facs=None):
+def _make_hmatvec(
+    pairs, Ls, Ws, Rs, shapes, nstate, dtype, facs=None, prec="highest"
+):
     """H_eff matvec; ``facs`` restores the scale of log-normalised blocks
     (see the log-scaled environment scheme in :class:`TDVPEngine`)."""
 
@@ -40,7 +42,7 @@ def _make_hmatvec(pairs, Ls, Ws, Rs, shapes, nstate, dtype, facs=None):
         psis = K.split_states(vec, shapes)
         sigs = [jnp.zeros(sh, dtype) for sh in shapes]
         for q, ((i, j), L, W, R) in enumerate(zip(pairs, Ls, Ws, Rs)):
-            term = K.heff_apply(L, W, R, psis[j])
+            term = K.heff_apply(L, W, R, psis[j], prec)
             if facs is not None:
                 term = term * facs[q].astype(dtype)
             sigs[i] = sigs[i] + term
@@ -49,12 +51,12 @@ def _make_hmatvec(pairs, Ls, Ws, Rs, shapes, nstate, dtype, facs=None):
     return mv
 
 
-def _make_kmatvec(pairs, Ls, Rs, shapes, nstate, dtype, facs=None):
+def _make_kmatvec(pairs, Ls, Rs, shapes, nstate, dtype, facs=None, prec="highest"):
     def mv(vec):
         sig_in = K.split_states(vec, shapes)
         sig_out = [jnp.zeros(sh, dtype) for sh in shapes]
         for q, ((i, j), L, R) in enumerate(zip(pairs, Ls, Rs)):
-            term = K.keff_apply(L, R, sig_in[j])
+            term = K.keff_apply(L, R, sig_in[j], prec)
             if facs is not None:
                 term = term * facs[q].astype(dtype)
             sig_out[i] = sig_out[i] + term
@@ -115,6 +117,7 @@ def _site_step_impl(
     max_dim: int,
     last: bool,
     forward: bool,
+    mv_prec: str = "highest",
 ):
     """One fused TDVP site update.  Returns (site_out, psi_next, blocks_new).
 
@@ -130,7 +133,9 @@ def _site_step_impl(
     if lRs is None:
         lRs = tuple(jnp.asarray(0.0, jnp.float32) for _ in pairs)
     hfacs = tuple(jnp.exp(lL + lR) for lL, lR in zip(lLs, lRs))
-    hmv = _make_hmatvec(pairs, Ls, Ws, Rs, shapes, nstate, dtype, hfacs)
+    hmv = _make_hmatvec(
+        pairs, Ls, Ws, Rs, shapes, nstate, dtype, hfacs, prec=mv_prec
+    )
     vec = K.stack_states(psis)
     # telemetry: [Σ Krylov iterations, # krylov_expm calls, # cap-hits]
     kry_count = jnp.zeros((3,), jnp.int32)
@@ -190,11 +195,13 @@ def _site_step_impl(
         )
         if forward:
             kmv = _make_kmatvec(
-                pairs, blocks_new, env_blocks, sshapes, nstate, dtype, kfacs
+                pairs, blocks_new, env_blocks, sshapes, nstate, dtype,
+                kfacs, prec=mv_prec
             )
         else:
             kmv = _make_kmatvec(
-                pairs, env_blocks, blocks_new, sshapes, nstate, dtype, kfacs
+                pairs, env_blocks, blocks_new, sshapes, nstate, dtype,
+                kfacs, prec=mv_prec
             )
         svec, k_used2, k_bad2 = krylov_expm(
             kmv,
@@ -234,6 +241,7 @@ _site_step = partial(
         "max_dim",
         "last",
         "forward",
+        "mv_prec",
     ),
 )(_site_step_impl)
 
@@ -248,6 +256,7 @@ _site_step = partial(
         "arnoldi",
         "max_dim",
         "forward",
+        "mv_prec",
     ),
 )
 def _scan_site_steps(
@@ -268,6 +277,7 @@ def _scan_site_steps(
     arnoldi: bool,
     max_dim: int,
     forward: bool,
+    mv_prec: str = "highest",
 ):
     """A RUN of uniform-shape site steps as ONE ``lax.scan`` program.
 
@@ -291,6 +301,7 @@ def _scan_site_steps(
             pairs=pairs, nstate=nstate, mode=mode,
             conserve_norm=conserve_norm, arnoldi=arnoldi,
             max_dim=max_dim, last=False, forward=forward,
+            mv_prec=mv_prec,
         )
         return (
             (psi_next, blocks_new, logs_new, kry_sum + kry),
@@ -304,6 +315,193 @@ def _scan_site_steps(
         (Ws_stack, next_stack, env_blocks_stack, env_logs_stack),
     )
     return carry, ys
+
+
+def _masked_svd(mat, p_rel, keep_first: bool):
+    """SVD with channels below ``p_rel``·σ₀ zeroed EXACTLY (jnp.where) —
+    the TPU backend emits 1e9-scale junk in near-null singular subspaces
+    of complex matrices; masking keeps it out of every factor."""
+    u, s, vh = jnp.linalg.svd(mat, full_matrices=False)
+    s0 = jnp.maximum(s[0], jnp.asarray(0.0, s.dtype))
+    mask = s > p_rel.astype(s.dtype) * s0
+    if keep_first:
+        mask = mask.at[0].set(True)
+    sm = jnp.where(mask, s, 0.0)
+    u = jnp.where(mask[None, :], u, 0.0)
+    vh = jnp.where(mask[:, None], vh, 0.0)
+    return u, sm, vh, mask
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "pairs", "nstate", "mode", "conserve_norm", "arnoldi", "max_dim",
+        "forward", "dD",
+    ),
+)
+def _adaptive_masked_site(
+    psis,
+    next_cores,
+    sys_blocks,
+    sys_logs,
+    env_blocks,
+    env_logs,
+    Ws,
+    scale,
+    thresh,
+    p_proj,
+    p_svd,
+    *,
+    pairs: tuple[Pair, ...],
+    nstate: int,
+    mode: str,
+    conserve_norm: bool,
+    arnoldi: bool,
+    max_dim: int,
+    forward: bool,
+    dD: int,
+):
+    """One fused masked-a1TDVP site update (fixed shapes, no host syncs).
+
+    Krylov H-step → null-safe QR (inactive channels stay EXACT zero) →
+    rank enrichment into free slots (leading orthogonal complement of
+    H_eff·ψ above ``p_proj``) → environment renorm → Krylov K-step →
+    masked SVD truncation below ``p_svd``·σ₀ → absorb into the neighbour.
+    Semantics follow the reference's adaptive scheme
+    (``/root/reference/pytdscf/_mps_cls.py:1985-2288``) with the live rank
+    carried as a zero-mask instead of a shape.
+    """
+    dtype = psis[0].dtype
+    shapes = tuple(p.shape for p in psis)
+    lLs = sys_logs if forward else env_logs
+    lRs = env_logs if forward else sys_logs
+    Ls = sys_blocks if forward else env_blocks
+    Rs = env_blocks if forward else sys_blocks
+    hfacs = tuple(jnp.exp(a + b) for a, b in zip(lLs, lRs))
+    hmv = _make_hmatvec(pairs, Ls, Ws, Rs, shapes, nstate, dtype, hfacs)
+    vec, k_used, k_bad = krylov_expm(
+        hmv, K.stack_states(psis), scale, thresh, max_dim=max_dim,
+        conserve_norm=conserve_norm or mode == "imag", arnoldi=arnoldi,
+        return_iterations=True,
+    )
+    kry = jnp.stack(
+        [k_used.astype(jnp.int32), jnp.asarray(1, jnp.int32),
+         k_bad.astype(jnp.int32)]
+    )
+    psis_new = tuple(K.split_states(vec, shapes))
+    hpsis = K.split_states(hmv(vec), shapes)
+
+    a_sites, sigs = [], []
+    for i in range(nstate):
+        psi, hpsi = psis_new[i], hpsis[i]
+        l, n, r = psi.shape
+        if forward:
+            mat = psi.reshape(l * n, r)
+            hmat = hpsi.reshape(l * n, r)
+        else:
+            mat = jnp.transpose(psi, (2, 1, 0)).reshape(r * n, l)
+            hmat = jnp.transpose(hpsi, (2, 1, 0)).reshape(r * n, l)
+        qm, sig = K.thin_qr(mat)
+        # live channels have EXACT nonzero σ rows (zero input columns give
+        # exact zero R columns in both MGS and Householder QR); zero the
+        # basis-completion junk in dead channels
+        act = jnp.sum(jnp.abs(sig), axis=1) > 0
+        qm = jnp.where(act[None, :], qm, 0.0)
+        if dD > 0:
+            resid = hmat - qm @ (qm.conj().T @ hmat)
+            u, sv, _ = jnp.linalg.svd(resid, full_matrices=False)
+            # absolute threshold (reference p_proj is absolute); zeroing
+            # below-cut columns also kills TPU null-space SVD junk
+            absmask = sv > p_proj.astype(sv.dtype)
+            u = jnp.where(absmask[None, :], u, 0.0)
+            ncol = min(dD, int(u.shape[1]))
+            u = u[:, :ncol]
+            slots = jnp.argsort(act)[:ncol]  # free slots first (stable)
+            free = ~act[slots]
+            cur = qm[:, slots]
+            unew = jnp.where(
+                (free & (jnp.sum(jnp.abs(u), axis=0) > 0))[None, :],
+                u.astype(dtype), cur,
+            )
+            qm = qm.at[:, slots].set(unew)
+        if forward:
+            a_sites.append(qm.reshape(l, n, -1))
+            sigs.append(sig)
+        else:
+            a_sites.append(jnp.transpose(qm.reshape(r, n, -1), (2, 1, 0)))
+            sigs.append(sig.T)
+
+    blocks_mid, logs_mid = _renorm_blocks_logged(
+        sys_blocks, sys_logs, tuple(a_sites), Ws, tuple(a_sites),
+        pairs=pairs, forward=forward,
+    )
+    kmv_L = blocks_mid if forward else env_blocks
+    kmv_R = env_blocks if forward else blocks_mid
+    kfacs = tuple(jnp.exp(a + b) for a, b in zip(logs_mid, env_logs))
+    sshapes = tuple(sg.shape for sg in sigs)
+    kmv = _make_kmatvec(pairs, kmv_L, kmv_R, sshapes, nstate, dtype, kfacs)
+    svec, k2, b2 = krylov_expm(
+        kmv, K.stack_states(sigs), -scale, thresh, max_dim=max_dim,
+        conserve_norm=conserve_norm or mode == "imag", arnoldi=arnoldi,
+        return_iterations=True,
+    )
+    kry = kry + jnp.stack(
+        [k2.astype(jnp.int32), jnp.asarray(1, jnp.int32),
+         b2.astype(jnp.int32)]
+    )
+    sigs = K.split_states(svec, sshapes)
+
+    psi_next = []
+    for i in range(nstate):
+        sig0 = sigs[i]
+        a0 = a_sites[i]
+        u, sm, vh, mask = _masked_svd(sig0, p_svd, keep_first=True)
+        if forward:
+            a_tr = jnp.einsum(
+                "lnk,km->lnm", a0, u.astype(dtype), precision=K.PRECISION,
+            )
+            sig_tr = (sm[:, None] * vh).astype(dtype)
+            k_act = jnp.sum(jnp.sum(jnp.abs(a0), axis=(0, 1)) > 0)
+            r_act = jnp.sum(jnp.sum(jnp.abs(sig0), axis=0) > 0)
+        else:
+            a_tr = jnp.einsum(
+                "mk,knr->mnr", vh.astype(dtype), a0, precision=K.PRECISION,
+            )
+            sig_tr = (u * sm[None, :]).astype(dtype)
+            k_act = jnp.sum(jnp.sum(jnp.abs(a0), axis=(1, 2)) > 0)
+            r_act = jnp.sum(jnp.sum(jnp.abs(sig0), axis=1) > 0)
+        # the variable-width path only truncates when channels above the
+        # cut are FEWER than sig's live min-dimension — otherwise freshly
+        # enriched zero-weight channels must survive (they get populated
+        # by later site steps); mirror that with a traced predicate
+        do_trunc = jnp.sum(mask) < jnp.minimum(k_act, r_act)
+        a_sites[i] = jnp.where(do_trunc, a_tr, a0)
+        sig = jnp.where(do_trunc, sig_tr, sig0)
+        # scrub sub-eps column noise (SVD factors carry ~eps·σ₀ leakage
+        # into exactly-zero channels) so the zero-mask rank stays honest
+        eps = jnp.finfo(sm.dtype).eps
+        col = jnp.linalg.norm(sig, axis=0 if forward else 1)
+        cmask = col > 8 * eps * jnp.maximum(sm[0], 0.0)
+        sig = jnp.where(
+            cmask[None, :] if forward else cmask[:, None], sig, 0.0
+        )
+        if conserve_norm and mode != "improved":
+            nrm = jnp.linalg.norm(sig)
+            sig = sig / jnp.maximum(
+                nrm, jnp.asarray(1e-30, nrm.dtype)
+            ).astype(dtype)
+        if forward:
+            psi_next.append(K.absorb_right(sig, next_cores[i]))
+        else:
+            psi_next.append(K.absorb_left(next_cores[i], sig))
+
+    blocks_new, logs_new = _renorm_blocks_logged(
+        sys_blocks, sys_logs, tuple(a_sites), Ws, tuple(a_sites),
+        pairs=pairs, forward=forward,
+    )
+    return (
+        tuple(a_sites), tuple(psi_next), blocks_new, logs_new, kry
+    )
 
 
 @partial(jax.jit, static_argnames=("pairs", "forward"))
@@ -372,6 +570,8 @@ class TDVPEngine:
         #: :meth:`krylov_stats` (reference _Debug.niter_krylov)
         self._kry_sum: jax.Array | None = None
         self._kry_warned = False
+        #: running max gauge deviation (pytest_enabled self-checks)
+        self._gauge_dev: jax.Array | None = None
 
     # ---------------------------------------------------------- helpers
     def _trivial_block(self) -> tuple[jax.Array, ...]:
@@ -494,6 +694,7 @@ class TDVPEngine:
             conserve_norm=cfg.conserve_norm,
             arnoldi=cfg.integrator == "arnoldi",
             max_dim=cfg.max_krylov,
+            mv_prec=cfg.matvec_precision,
         )
         pos = 0
         while pos < len(order):
@@ -575,6 +776,13 @@ class TDVPEngine:
             for i in range(self.nstate):
                 self.cores[i][p] = sites_out[i]
             if not last:
+                if cfg.pytest_enabled:
+                    for i in range(self.nstate):
+                        dev = K.gauge_error(sites_out[i], left=forward)
+                        self._gauge_dev = (
+                            dev if self._gauge_dev is None
+                            else jnp.maximum(self._gauge_dev, dev)
+                        )
                 q = p + 1 if forward else p - 1
                 for i in range(self.nstate):
                     self.cores[i][q] = psi_next[i]
@@ -608,6 +816,123 @@ class TDVPEngine:
             if sigs[i] is None:
                 sigs[i] = psis[i] * 0.0
         return sigs
+
+    # -------------------------------------- adaptive (a1TDVP, masked/TPU)
+    def _bond_caps(self) -> list[int]:
+        """Static per-bond rank caps: min(Dmax, feasible left/right)."""
+        caps = []
+        prod_l = 1
+        prods_r = [1] * (self.nsite + 1)
+        for p in range(self.nsite - 1, -1, -1):
+            prods_r[p] = min(
+                prods_r[p + 1] * self.phys_dims[p], 1 << 30
+            )
+        for p in range(self.nsite - 1):
+            prod_l = min(prod_l * self.phys_dims[p], 1 << 30)
+            caps.append(
+                min(self.config.adaptive_Dmax, prod_l, prods_r[p + 1])
+            )
+        return caps
+
+    def _pad_to_caps(self) -> None:
+        caps = [1] + self._bond_caps() + [1]
+        for i in range(self.nstate):
+            for p in range(self.nsite):
+                c = self.cores[i][p]
+                tl, tr = caps[p], caps[p + 1]
+                if c.shape[0] == tl and c.shape[2] == tr:
+                    continue
+                self.cores[i][p] = K.pad_core(c, tl, tr)
+        self.env_stack = None
+
+    def _half_sweep_adaptive_masked(
+        self, scale, forward: bool, mode: str
+    ) -> None:
+        """a1TDVP with FIXED padded bond buffers and masked ranks.
+
+        Replaces the per-bond host syncs and shape-changing retraces of the
+        variable-width path (reference semantics, SURVEY §7 hard-part #1):
+        every bond is padded to its static cap, the live rank is carried as
+        exact-zero channels, and enrichment/truncation only move the
+        zero-mask — the whole site update is ONE fused XLA program, so the
+        sweep never touches the host and never retraces.
+        """
+        if mode == "improved":
+            raise NotImplementedError(
+                "masked adaptive sweep supports prop/imag (use the "
+                "variable-width path for improved relaxation)"
+            )
+        cfg = self.config
+        self._pad_if_needed()
+        if self.env_stack is None:
+            self.env_stack = (
+                self.build_right_env_stack()
+                if forward
+                else self.build_left_env_stack()
+            )
+        env_stack = self.env_stack
+        sys_stack = [(self._trivial_block(), self._zero_logs())]
+        order = (
+            range(self.nsite) if forward else range(self.nsite - 1, -1, -1)
+        )
+        sys_blocks, sys_logs = sys_stack[0]
+        p_proj = dio.put(
+            np.asarray(cfg.adaptive_p_proj, np.float64), jnp.float32
+            if self.dtype == jnp.complex64 else jnp.float64,
+        )
+        p_svd = dio.put(
+            np.asarray(cfg.adaptive_p_svd, np.float64), jnp.float32
+            if self.dtype == jnp.complex64 else jnp.float64,
+        )
+        for p in order:
+            env_blocks, env_logs = env_stack.pop()
+            last = p == (self.nsite - 1 if forward else 0)
+            if last:
+                Ls = sys_blocks if forward else env_blocks
+                Rs = env_blocks if forward else sys_blocks
+                lLs = sys_logs if forward else env_logs
+                lRs = env_logs if forward else sys_logs
+                psis_new = self._evolve_psis(
+                    self._psis(p), Ls, self._site_W(p), Rs, scale, mode,
+                    lLs, lRs,
+                )
+                for i in range(self.nstate):
+                    self.cores[i][p] = psis_new[i]
+                break
+            q = p + 1 if forward else p - 1
+            a_sites, psi_next, blocks_new, logs_new, kry = (
+                _adaptive_masked_site(
+                    self._psis(p),
+                    self._psis(q),
+                    sys_blocks, sys_logs,
+                    env_blocks, env_logs,
+                    self._site_W(p),
+                    scale, cfg.thresh_exp, p_proj, p_svd,
+                    pairs=self.pairs, nstate=self.nstate, mode=mode,
+                    conserve_norm=cfg.conserve_norm,
+                    arnoldi=cfg.integrator == "arnoldi",
+                    max_dim=cfg.max_krylov, forward=forward,
+                    dD=cfg.adaptive_dD,
+                )
+            )
+            self._kry_sum = (
+                kry if self._kry_sum is None else self._kry_sum + kry
+            )
+            for i in range(self.nstate):
+                self.cores[i][p] = a_sites[i]
+                self.cores[i][q] = psi_next[i]
+            sys_blocks, sys_logs = blocks_new, logs_new
+            sys_stack.append((blocks_new, logs_new))
+        self.env_stack = sys_stack
+
+    def _pad_if_needed(self) -> None:
+        caps = [1] + self._bond_caps() + [1]
+        c0 = self.cores[0]
+        if any(
+            c0[p].shape[0] != caps[p] or c0[p].shape[2] != caps[p + 1]
+            for p in range(self.nsite)
+        ):
+            self._pad_to_caps()
 
     def _half_sweep_adaptive(self, scale, forward: bool, mode: str) -> None:
         """Half-sweep with bond growth and SVD truncation (a1TDVP).
@@ -762,16 +1087,32 @@ class TDVPEngine:
             scale = dio.put(np.asarray(-0.5j * dt), self.dtype)
         else:
             scale = dio.put(np.asarray(-0.5 * dt), self.dtype)
-        sweep = (
-            self._half_sweep_adaptive if self.config.adaptive
-            else self._half_sweep
-        )
+        if self.config.adaptive:
+            sweep = (
+                self._half_sweep_adaptive_masked
+                if self.config.adaptive_masked
+                else self._half_sweep_adaptive
+            )
+        else:
+            sweep = self._half_sweep
         sweep(scale, forward=True, mode=mode)
         if one_gate_to_apply is not None:
             self.apply_one_gate(one_gate_to_apply)
         if kraus_op is not None:
             self.apply_kraus(kraus_op)
         sweep(scale, forward=False, mode=mode)
+        if self.config.pytest_enabled and self._gauge_dev is not None:
+            # canonicality validated inside the sweep when testing
+            # (reference _site_cls.py:502-561 under const.pytest_enabled);
+            # one device fetch per step
+            dev = float(np.asarray(dio.fetch(self._gauge_dev)))
+            self._gauge_dev = None
+            tol = 1e-05 if self.dtype == jnp.complex64 else 1e-09
+            if dev > tol:
+                raise AssertionError(
+                    f"gauge canonicality violated in sweep: max |Q†Q−I| "
+                    f"= {dev:.3e} > {tol:.0e}"
+                )
 
     # ------------------------------------------------- open-system channels
     def apply_one_gate(self, gate) -> None:
@@ -928,6 +1269,20 @@ class TDVPEngine:
                 )
         self.invalidate_env()
 
+    def right_canonicalize(self) -> None:
+        """Psi·B…B with the centre at site 0 — the engine's between-step
+        invariant — entirely on device (the large-χ path: host LAPACK QR
+        of χ=2048 cores costs minutes; the CholeskyQR³ gauge kernel runs
+        the whole sweep in well under a second)."""
+        for i in range(self.nstate):
+            for p in range(self.nsite - 1, 0, -1):
+                sig, b = K.lq_left(self.cores[i][p])
+                self.cores[i][p] = b
+                self.cores[i][p - 1] = K.absorb_left(
+                    self.cores[i][p - 1], sig
+                )
+        self.invalidate_env()
+
     # ------------------------------------------------------- observables
     def expectation(self, operator=None) -> complex:
         """⟨Ψ|O|Ψ⟩ with Psi canonical at site 0 (reference semantics)."""
@@ -1052,6 +1407,13 @@ class TDVPEngine:
         return float(np.sqrt(sum(self.pop_states())))
 
     def bond_dims(self, istate: int = 0) -> list[int]:
+        if self.config.adaptive and self.config.adaptive_masked:
+            # live rank = count of exactly-nonzero bond channels (the
+            # masked sweep carries rank as a zero-mask, not a shape)
+            return [
+                int(np.asarray(dio.fetch(K.active_rank(c))))
+                for c in self.cores[istate][:-1]
+            ]
         return [int(c.shape[2]) for c in self.cores[istate][:-1]]
 
     def reduced_density(
@@ -1259,6 +1621,34 @@ class TDVPEngine:
     def krylov_average(self, reset: bool = True) -> float:
         """Mean Krylov dimension per local exponential since the last call."""
         return self.krylov_stats(reset)[0]
+
+    def flops_estimate(self, avg_krylov: float = 1.0) -> float:
+        """Algorithmic real FLOPs of ONE time step (two half-sweeps) —
+        the reference's ``_NFlops`` cost-model analogue, from the actual
+        core/MPO shapes.  Per site and state pair: the (L·ψ·W·R) chain
+        costs ≈ l·r·n·(w_l·l + w_r·r) + l·r·n²·w_l·w_r complex mults
+        (8 real FLOPs each); each Krylov call runs ``avg_krylov`` matvecs
+        (pass the measured :meth:`krylov_stats` average), the environment
+        transfer costs one more chain, and the K-step is smaller by n.
+        Multiply by sec/step⁻¹ for device throughput (bench_chi.py)."""
+        total = 0.0
+        for pair in self.pairs:
+            i, j = pair
+            for p in range(self.nsite):
+                l, n, r = (int(d) for d in self.cores[j][p].shape)
+                W = self.W[pair][p]
+                wl, wr = int(W.shape[0]), int(W.shape[3])
+                hchain = 8.0 * (
+                    l * r * n * (wl * l + wr * r) + l * r * n * n * wl * wr
+                )
+                kchain = 8.0 * (l * r * (wl * l + wr * r))
+                # 2 half-sweeps: H Krylov + env transfer + K Krylov
+                total += 2.0 * (
+                    (avg_krylov + 1.0) * hchain
+                    + hchain
+                    + (avg_krylov + 1.0) * kchain
+                )
+        return total
 
     def contract_all(self, istate: int = 0) -> np.ndarray:
         """Full dense wavefunction tensor (debugging; reference

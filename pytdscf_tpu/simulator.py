@@ -113,7 +113,9 @@ class Simulator:
         adaptive_dD: int = 5,
         adaptive_p_proj: float = 1.0e-04,
         adaptive_p_svd: float = 1.0e-07,
+        adaptive_masked: bool = False,
         integrator: Literal["lanczos", "arnoldi"] = "lanczos",
+        matvec_precision: Literal["highest", "high", "default"] = "highest",
         display_time_unit: Literal["fs", "ps", "au"] = "fs",
         conserve_norm: bool = True,
         cmf: bool = False,
@@ -133,6 +135,8 @@ class Simulator:
             adaptive_dD=adaptive_dD,
             adaptive_p_proj=adaptive_p_proj,
             adaptive_p_svd=adaptive_p_svd,
+            adaptive_masked=adaptive_masked,
+            matvec_precision=matvec_precision,
             display_time_unit=display_time_unit,
             cmf=cmf,
             tol_cmf=tol_cmf,
@@ -172,6 +176,7 @@ class Simulator:
         populations: bool = True,
         observables: bool = False,
         integrator: Literal["lanczos", "arnoldi"] = "lanczos",
+        matvec_precision: Literal["highest", "high", "default"] = "highest",
         display_time_unit: Literal["fs", "ps", "au"] = "fs",
     ) -> tuple[Any, WaveFunction]:
         dt_au = stepsize / units.au_in_fs
@@ -179,6 +184,7 @@ class Simulator:
             jobname=self.jobname + "_relax",
             relax="improved" if improved else "imaginary",
             integrator=integrator,
+            matvec_precision=matvec_precision,
             space=self.model.space,
             display_time_unit=display_time_unit,
         )
@@ -223,29 +229,33 @@ class Simulator:
     def _initial_engine(
         self, config: Config, restart: bool, loadfile_ext: str
     ):
-        if self.ci_type == "mctdh":
-            if restart:
-                raise NotImplementedError("MCTDH restart is not supported yet")
-            from pytdscf_tpu.mctdh import MCTDHEngine
-
-            return MCTDHEngine(self.model, config)
-        if not self.model.basinfo.is_standard_method:
-            # nspf < nprim with an MPS ansatz → MPS-MCTDH hybrid (reference
-            # "non-standard method", model_cls.py:344-347 / _mps_sop.py)
-            if restart:
-                raise NotImplementedError("MPS-MCTDH restart")
-            from pytdscf_tpu.mps_mctdh import MPSMCTDHEngine
-
-            return MPSMCTDHEngine(self.model, config)
-        if restart:
+        def _restart_payload():
             path = resolve_checkpoint(f"wf_{self.jobname}{loadfile_ext}.pkl")
             if path is None:
                 raise FileNotFoundError(
                     f"no wavefunction checkpoint wf_{self.jobname}"
                     f"{loadfile_ext}.pkl/.ckpt"
                 )
-            payload = load_wavefunction(path)
-            cores = payload["cores"]
+            return load_wavefunction(path)
+
+        if self.ci_type == "mctdh":
+            from pytdscf_tpu.mctdh import MCTDHEngine
+
+            return MCTDHEngine(
+                self.model, config,
+                payload=_restart_payload() if restart else None,
+            )
+        if not self.model.basinfo.is_standard_method:
+            # nspf < nprim with an MPS ansatz → MPS-MCTDH hybrid (reference
+            # "non-standard method", model_cls.py:344-347 / _mps_sop.py)
+            from pytdscf_tpu.mps_mctdh import MPSMCTDHEngine
+
+            return MPSMCTDHEngine(
+                self.model, config,
+                payload=_restart_payload() if restart else None,
+            )
+        if restart:
+            cores = _restart_payload()["cores"]
         else:
             cores = self._alloc_initial_cores()
         return TDVPEngine(cores, self.model.hamiltonian, config)
@@ -332,8 +342,9 @@ class Simulator:
         payload = engine.to_numpy()
         if not isinstance(payload, dict):
             payload = {"cores": payload}
-        elif "cores" not in payload:
-            payload = {"cores": payload}
+        # dict payloads keep their engine-specific keys verbatim (MCTDH
+        # saves {"ci", "spf"}, the hybrid {"cores", "spf"}) so the
+        # matching engine restore reads them back at the same level
         save_wavefunction(payload, path, backend=self.checkpoint_backend)
 
     def _execute(
@@ -358,6 +369,12 @@ class Simulator:
         norm_per_step: int = 1,
         populations_per_step: int = 1,
     ) -> tuple[Any, WaveFunction]:
+        import os as _os
+
+        if _os.environ.get("PYTEST_CURRENT_TEST") and not config.pytest_enabled:
+            # numerical self-checks inside the sweep when running under
+            # pytest (reference auto-sets const.pytest_enabled likewise)
+            config = config.replace(pytest_enabled=True)
         logger = get_logger(config.jobname, self.verbose)
         self._prepare_primints()
         from pytdscf_tpu.diagnostics import Diagnostics

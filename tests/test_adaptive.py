@@ -43,6 +43,93 @@ def test_adaptive_grows_and_matches(tmp_path, monkeypatch):
     assert ener == pytest.approx(0.010000180312707298, abs=2.0e-06)
 
 
+def test_adaptive_masked_matches_variable(tmp_path, monkeypatch):
+    """The masked fixed-buffer a1TDVP (TPU path: static shapes, no host
+    syncs) reproduces the variable-width result, with NO dio.fetch call
+    ever issued inside the sweep."""
+    monkeypatch.chdir(tmp_path)
+    hamiltonian = _build_hamiltonian()
+    init = [
+        [ho.get_unitary()[0].tolist() for ho in prim_info[:3]]
+        + [np.array([0.0, 1.0]).tolist()]
+    ]
+    kw = dict(
+        stepsize=0.1, maxstep=20, adaptive=True, adaptive_Dmax=10,
+        adaptive_dD=3, adaptive_p_proj=1.0e-09, adaptive_p_svd=1.0e-10,
+    )
+    model = Model(prim_info, {"hamiltonian": hamiltonian}, bond_dim=1)
+    model.init_HartreeProduct = init
+    e_var, wf_var = Simulator("adp_var", model, verbose=0).propagate(**kw)
+
+    from pytdscf_tpu.mps import device_io as dio
+    from pytdscf_tpu.mps.tdvp import TDVPEngine
+
+    real_fetch = dio.fetch
+    in_sweep = {"on": False}
+
+    def guarded_fetch(x):
+        if in_sweep["on"]:
+            raise AssertionError("host fetch inside the masked sweep")
+        return real_fetch(x)
+
+    real_prop = TDVPEngine.propagate
+
+    def guarded_prop(self, *a, **k):
+        in_sweep["on"] = True
+        try:
+            return real_prop(self, *a, **k)
+        finally:
+            in_sweep["on"] = False
+
+    monkeypatch.setattr(dio, "fetch", guarded_fetch)
+    monkeypatch.setattr(TDVPEngine, "propagate", guarded_prop)
+    model = Model(prim_info, {"hamiltonian": hamiltonian}, bond_dim=1)
+    model.init_HartreeProduct = init
+    e_msk, wf_msk = Simulator("adp_msk", model, verbose=0).propagate(
+        adaptive_masked=True, **kw
+    )
+    monkeypatch.setattr(dio, "fetch", real_fetch)
+    # both adaptive variants drift O(dt) from mid-sweep enrichment; each
+    # must stay near the fixed-bond literal (the masked path's enrichment
+    # timing differs slightly, so exact cross-parity is not expected)
+    assert e_var == pytest.approx(0.010000180312707298, abs=2e-6)
+    assert e_msk == pytest.approx(0.010000180312707298, abs=2e-6)
+    assert max(wf_msk.bonddim()) > 1
+    np.testing.assert_allclose(
+        wf_msk.engine.pop_states(), wf_var.engine.pop_states(), atol=1e-4
+    )
+
+
+def test_adaptive_masked_complex64(tmp_path, monkeypatch):
+    """Masked a1TDVP at the TPU dtype (complex64) with f32-retuned
+    thresholds conserves energy and grows bonds."""
+    monkeypatch.chdir(tmp_path)
+    from pytdscf_tpu.config import Config
+    from pytdscf_tpu.mps.tdvp import TDVPEngine
+    from pytdscf_tpu.mps.lattice import alloc_hartree_product
+
+    hamiltonian = _build_hamiltonian()
+    phys = [b.nprim for b in prim_info]
+    vecs = [np.asarray(ho.get_unitary()[0]) for ho in prim_info[:3]] + [
+        np.array([0.0, 1.0])
+    ]
+    cores = [alloc_hartree_product(phys, 1, vecs)]
+    cfg = Config(
+        jobname="adp_c64", dtype="complex64", adaptive=True,
+        adaptive_masked=True, adaptive_Dmax=8, adaptive_dD=3,
+        # f32 thresholds: enrichment above f32 noise, truncation at ~1e-6
+        adaptive_p_proj=1.0e-05, adaptive_p_svd=1.0e-06,
+        thresh_exp=1.0e-06,
+    )
+    eng = TDVPEngine(cores, hamiltonian, cfg)
+    e0 = eng.expectation(hamiltonian).real
+    for _ in range(10):
+        eng.propagate(0.1 / 0.024188843265857)
+    assert max(eng.bond_dims()) > 1
+    assert eng.expectation(hamiltonian).real == pytest.approx(e0, abs=5e-5)
+    assert eng.norm() == pytest.approx(1.0, abs=1e-5)
+
+
 def test_adaptive_no_expansion_is_exact(tmp_path, monkeypatch):
     """With Dmax at the initial bond the adaptive sweep must reproduce the
     fixed-bond trajectory bit-for-bit (same exponentials, same gauge)."""
