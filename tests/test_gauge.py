@@ -65,3 +65,38 @@ def test_hartree_product_alloc_is_exact_product_state():
     )
     np.testing.assert_allclose(full, expect, atol=1e-13)
     assert abs(np.linalg.norm(full.ravel()) - 1.0) < 1e-13
+
+
+def test_cholesky_qr_matches_mgs_semantics():
+    """CholeskyQR³ (the large-bond TPU gauge kernel): orthonormal live
+    columns, exact-zero dead channels, Q·R = A — at f64 on CPU and at the
+    f32-representative conditioning of a decaying Schmidt spectrum."""
+    rng = np.random.default_rng(7)
+    N, r, dead = 96, 48, 8
+    u, _ = np.linalg.qr(rng.normal(size=(N, r)) + 1j * rng.normal(size=(N, r)))
+    v, _ = np.linalg.qr(rng.normal(size=(r, r)) + 1j * rng.normal(size=(r, r)))
+    sv = np.logspace(0, -6, r)
+    a = (u * sv) @ v.conj().T
+    a[:, -dead:] = 0.0
+    q, R = K._cholesky_qr(jnp.asarray(a))
+    q, R = np.asarray(q), np.asarray(R)
+    live = np.abs(a).sum(axis=0) > 0
+    gram = q.conj().T @ q
+    np.testing.assert_allclose(
+        gram[np.ix_(live, live)], np.eye(live.sum()), atol=5e-9
+    )
+    assert np.abs(q[:, ~live]).max() == 0.0
+    assert np.abs(R[~live, :]).max() == 0.0
+    np.testing.assert_allclose(q @ R, a, atol=1e-9)
+
+
+def test_cholesky_qr_inside_site_shapes():
+    """(l·n, r) shapes of a χ=256 site factor round-trip exactly."""
+    rng = np.random.default_rng(8)
+    l, n, r = 256, 4, 256
+    psi = rng.normal(size=(l * n, r)) + 1j * rng.normal(size=(l * n, r))
+    q, R = K._cholesky_qr(jnp.asarray(psi))
+    np.testing.assert_allclose(
+        np.asarray(q.conj().T @ q), np.eye(r), atol=1e-10
+    )
+    np.testing.assert_allclose(np.asarray(q @ R), psi, atol=1e-10)
