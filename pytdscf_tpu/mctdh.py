@@ -323,7 +323,10 @@ class MCTDHEngine:
     state) with the Simulator interface (propagate / propagate_CMF /
     expectation / autocorr / norm / pop_states)."""
 
-    def __init__(self, model, config: Config):
+    def __init__(self, model, config: Config, payload=None):
+        """``payload``: a dict from :meth:`to_numpy` — restores the CI
+        tensors and SPF coefficients for checkpoint resume (the MPS path's
+        restart analogue, reference ``simulator_cls.py:577-589``)."""
         self.model = model
         self.config = config
         basinfo = model.basinfo
@@ -378,6 +381,12 @@ class MCTDHEngine:
             cis.append(jnp.asarray(ci * math.sqrt(weights[i])))
         self.cis = cis
         self.epsrho = config.epsrho
+        if payload is not None:
+            self.cis = [jnp.asarray(c) for c in payload["ci"]]
+            self.spfs = [
+                SPFCoef([jnp.asarray(p) for p in phis])
+                for phis in payload["spf"]
+            ]
 
     # ------------------------------------------------- legacy 1-state views
     @property

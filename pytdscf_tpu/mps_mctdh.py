@@ -139,7 +139,10 @@ def hole_weights(cores_i, cores_j, mats):
 class MPSMCTDHEngine:
     """MPS ⊗ SPF hybrid with the Simulator engine interface."""
 
-    def __init__(self, model, config: Config):
+    def __init__(self, model, config: Config, payload=None):
+        """``payload``: a dict from :meth:`to_numpy` — restores the MPS
+        cores over SPF bases and the SPF coefficients (checkpoint
+        resume)."""
         self.model = model
         self.config = config
         basinfo = model.basinfo
@@ -191,6 +194,14 @@ class MPSMCTDHEngine:
                     space="hilbert",
                 )
             )
+        if payload is not None:
+            import jax.numpy as jnp
+
+            self.spfs = [
+                SPFCoef([jnp.asarray(p) for p in phis])
+                for phis in payload["spf"]
+            ]
+            cores = payload["cores"]
         self.tdvp = TDVPEngine(cores, self._spf_operator(self.sop), config)
 
     # ------------------------------------------------------------------
