@@ -26,6 +26,9 @@ Env knobs:
   BENCH_KRYLOV  — Arnoldi buffer (default 15)
   BENCH_PREC    — Krylov matvec matmul precision: highest|high|default
                   (env recursions stay at HIGHEST regardless)
+  BENCH_SPLIT   — 1: one 4-dim site per electron spin (the χ≥2048 TN
+                  layout; a 16-dim pair site's (χ,16,w,χ) env transfer
+                  transient alone is 2 GB at χ=2048)
 """
 
 from __future__ import annotations
@@ -65,18 +68,20 @@ def main() -> None:
     steps = int(os.environ.get("BENCH_STEPS", "5"))
     krylov = int(os.environ.get("BENCH_KRYLOV", "15"))
     prec = os.environ.get("BENCH_PREC", "highest")
+    split = os.environ.get("BENCH_SPLIT", "0") != "0"
 
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
     dtype = "complex64" if on_tpu else "complex128"
     log(f"bench_chi: platform={platform} dtype={dtype} chi={chi} "
-        f"nuclei={n_nuc}+{n_nuc} prec={prec}")
+        f"nuclei={n_nuc}+{n_nuc} prec={prec} split={split}")
 
     # realistic hfc spread (mT), deterministic
     hfc = [round(0.15 + 0.07 * k, 4) for k in range(n_nuc)]
     t0 = time.time()
     basis, mpo, ele_site = radical_pair_liouvillian(
         hfcs_1=[(2, a) for a in hfc], hfcs_2=[(2, a) for a in hfc],
+        split_electron=split,
     )
     from pytdscf_tpu.model import Model
 
@@ -91,8 +96,9 @@ def main() -> None:
     # physical product state + noise fill at bond dim chi; the
     # canonicalisation sweep runs ON DEVICE (engine.right_canonicalize —
     # host LAPACK QR of χ≥1024 cores costs minutes)
-    vecs = singlet_product_state(basis, ele_site)
-    cores = alloc_hartree_product(phys_dims, 1, vecs, space="liouville")
+    vecs = singlet_product_state(basis, ele_site, split_electron=split)
+    # m_max=4 covers the entangled two-site singlet cores in split mode
+    cores = alloc_hartree_product(phys_dims, 4, vecs, space="liouville")
     rng = np.random.default_rng(42)
     eps = 1.0e-04
     noisy = []
@@ -139,10 +145,14 @@ def main() -> None:
     tr1 = complex(engine.trace(0))  # forces full sync
     sec_per_step = (time.time() - t0) / steps
     avg_k, calls, capped = engine.krylov_stats()
-    pops = np.real(np.diag(
-        engine.reduced_density_liouville((0,) * ele_site + (2,))
-    ))
-    log(f"bench_chi: electron-site populations {np.round(pops, 6)}")
+    if split:
+        rp = engine.reduced_density_liouville((0,) * ele_site + (2, 2))
+        pops = np.real(np.einsum("aabb->ab", np.asarray(rp)).reshape(-1))
+    else:
+        pops = np.real(np.diag(
+            engine.reduced_density_liouville((0,) * ele_site + (2,))
+        ))
+    log(f"bench_chi: electron populations {np.round(pops, 6)}")
 
     flops_step = engine.flops_estimate(avg_krylov=max(avg_k, 1.0))
     tflops = flops_step / sec_per_step / 1e12

@@ -16,6 +16,13 @@ electron-pair site, nuclei of radical 2.  Vectorisation is row-major
 convention: bra-side factors enter as ``kron(Oᵀ, 1)`` and ket-side as
 ``kron(1, O)`` — see :func:`twin_l` / :func:`twin_r`.
 
+``split_electron=True`` puts each electron spin on its OWN 4-dim
+vectorised site (exchange, dipolar and the Haberkorn projectors become
+two-site products).  This is a deliberate tensor-network layout change
+over the reference: a 16-dim site makes every environment transfer carry
+a (χ, 16, w, χ) intermediate — at χ=2048 that single buffer is 2 GB and
+overflows HBM — while two 4-dim sites keep all transients at d=4.
+
 Units: couplings are given in mT (RadicalPy convention) and multiplied by
 the gyromagnetic ratio γ [rad/s/mT] and ``scale`` (default 1e-9), so the
 Liouvillian is in rad/ns and a ``dt`` of 1 propagates 1 ns.
@@ -56,14 +63,20 @@ def spin_matrices(multiplicity: int) -> tuple[np.ndarray, np.ndarray, np.ndarray
 
 
 def twin_l(op: np.ndarray) -> np.ndarray:
-    """Bra-side superoperator factor: vec(Oρ)=(O⊗1)... in the engine's
-    row-major convention ``kron(op, 1)`` acts from the LEFT on ρ."""
+    """Bra-side superoperator factor: O·ρ ↦ ``kron(op, 1)``·vec(ρ)
+    (row-major vectorisation)."""
     return np.kron(op, np.eye(op.shape[0], dtype=op.dtype))
 
 
 def twin_r(op: np.ndarray) -> np.ndarray:
     """Ket-side factor: ρ·op ↦ ``kron(1, opᵀ)``·vec(ρ) (row-major)."""
     return np.kron(np.eye(op.shape[0], dtype=op.dtype), op.T)
+
+
+def _singlet_projector() -> np.ndarray:
+    singlet = np.zeros(4, dtype=complex)
+    singlet[1], singlet[2] = 1 / math.sqrt(2), -1 / math.sqrt(2)
+    return np.outer(singlet, singlet.conj())
 
 
 def radical_pair_liouvillian(
@@ -75,6 +88,7 @@ def radical_pair_liouvillian(
     kS: float = 1.0e06,
     kT: float = 1.0e06,
     scale: float = 1.0e-09,
+    split_electron: bool = False,
 ):
     """Build (basis, mpo, ele_site) for the radical-pair Liouvillian.
 
@@ -87,34 +101,30 @@ def radical_pair_liouvillian(
             (2/3)·diag(−1,−1,2)·D0 as in the notebook).
         kS / kT: Haberkorn singlet/triplet recombination rates [s⁻¹].
         scale: energy rescale (1e-9 ⇒ rad/ns, the notebook's choice).
+        split_electron: one 4-dim site per electron spin instead of the
+            notebook's single 16-dim pair site (see module docstring).
 
     Returns:
         ``(basis, mpo, ele_site)`` — Exciton bases (physical dims d²),
         the numerical MPO core list of the (non-Hermitian) Liouvillian
-        H_eff with i dρ/dt = H_eff ρ, and the electron-pair site index.
+        H_eff with i dρ/dt = H_eff ρ, and the electron-pair site index
+        (the FIRST electron site when ``split_electron``).
     """
     if hfcs_1 is None:
         hfcs_1 = [(2, 0.4)]
     if hfcs_2 is None:
         hfcs_2 = [(3, 0.5)]
 
-    # electron-pair site: product Zeeman basis {αα, αβ, βα, ββ}
     sx, sy, sz = spin_matrices(2)
     E2 = np.eye(2)
-    S1 = [np.kron(m, E2) for m in (sx, sy, sz)]
-    S2 = [np.kron(E2, m) for m in (sx, sy, sz)]
-    singlet = np.zeros(4, dtype=complex)
-    singlet[1], singlet[2] = 1 / math.sqrt(2), -1 / math.sqrt(2)
-    Qs = np.outer(singlet, singlet.conj())
-    Qt = np.eye(4) - Qs
-
     ele_site = len(hfcs_1)
-    nsite = len(hfcs_1) + 1 + len(hfcs_2)
-    nuclei: list[tuple[int, int, float]] = []  # (site, multiplicity, A_mT)
+    n_ele_sites = 2 if split_electron else 1
+    nsite = len(hfcs_1) + n_ele_sites + len(hfcs_2)
+    nuclei: list[tuple[int, int, float, int]] = []  # (site, mult, A, radical)
     for k, (mult, A) in enumerate(hfcs_1):
-        nuclei.append((k, mult, A))
+        nuclei.append((k, mult, A, 0))
     for k, (mult, A) in enumerate(hfcs_2):
-        nuclei.append((ele_site + 1 + k, mult, A))
+        nuclei.append((ele_site + n_ele_sites + k, mult, A, 1))
 
     def gamma_n(mult: int) -> float:
         return GAMMA_1H if mult == 2 else GAMMA_14N
@@ -128,56 +138,102 @@ def radical_pair_liouvillian(
     xyz = "xyz"
     sop = SumOfProducts()
 
-    # Zeeman along z: H_Z = −B0 (γe Sz¹ + γe Sz² + Σ γn Iz) — commutator
-    # form twin_l(H) − twin_r(H)
-    for i, S in enumerate((S1, S2)):
-        c = -B0 * GAMMA_E * scale
-        sop += c * OL(f"Sz{i}", ele_site, S[2])
-        sop -= c * OR(f"Sz{i}", ele_site, S[2])
-    for site, mult, _A in nuclei:
+    if split_electron:
+        # per-spin 2-dim operators, one vectorised 4-dim site per spin
+        ele_of = (ele_site, ele_site + 1)
+        spin_ops = (sx, sy, sz)
+
+        def ele_L(i_ele: int, r: int) -> OpSite:
+            return OL(f"S{xyz[r]}{i_ele}", ele_of[i_ele], spin_ops[r])
+
+        def ele_R(i_ele: int, r: int) -> OpSite:
+            return OR(f"S{xyz[r]}{i_ele}", ele_of[i_ele], spin_ops[r])
+
+        # exchange −J|γe|·2·S1·S2 (the E/2 shift cancels in the
+        # commutator) and dipolar |γe|·S1ᵀDS2: two-site products
+        cJ = -J * abs(GAMMA_E) * scale * 2.0
+        Dt = (2.0 / 3.0) * np.diag((-1.0, -1.0, 2.0)) * D0
+        for r in range(3):
+            c = cJ + abs(GAMMA_E) * scale * Dt[r, r]
+            if c != 0.0:
+                sop += c * (ele_L(0, r) * ele_L(1, r))
+                sop -= c * (ele_R(0, r) * ele_R(1, r))
+        # Haberkorn with P_S = E/4 − S1·S2, P_T = 3E/4 + S1·S2:
+        # −(i/2)[kS(L+R)(P_S) + kT(L+R)(P_T)]
+        #   = −i(kS+3kT)/4 · Id + (kS−kT)(i/2)(Σ_r L_r L_r + R_r R_r)
+        c_sw = (kS - kT) * 0.5j * scale
+        if c_sw != 0.0:
+            for r in range(3):
+                sop += c_sw * (ele_L(0, r) * ele_L(1, r))
+                sop += c_sw * (ele_R(0, r) * ele_R(1, r))
+        c_id = -0.25j * (kS + 3 * kT) * scale
+        if c_id != 0.0:
+            sop += c_id * OpSite("L:Ee", ele_site, value=np.eye(4))
+        # Zeeman (z): each electron spin on its own site
+        for i_ele in range(2):
+            c = -B0 * GAMMA_E * scale
+            sop += c * ele_L(i_ele, 2)
+            sop -= c * ele_R(i_ele, 2)
+        # hyperfine couples each radical's nuclei to ITS electron site
+        for site, mult, A, i_ele in nuclei:
+            Imats = spin_matrices(mult)
+            c = abs(GAMMA_E) * A * scale
+            for r in range(3):
+                tagI = f"I{xyz[r]}{site}"
+                sop += c * ele_L(i_ele, r) * OL(tagI, site, Imats[r])
+                sop -= c * ele_R(i_ele, r) * OR(tagI, site, Imats[r])
+    else:
+        # notebook layout: both spins on one 16-dim vectorised site
+        S1 = [np.kron(m, E2) for m in (sx, sy, sz)]
+        S2 = [np.kron(E2, m) for m in (sx, sy, sz)]
+        Qs = _singlet_projector()
+        Qt = np.eye(4) - Qs
+
+        for i, S in enumerate((S1, S2)):
+            c = -B0 * GAMMA_E * scale
+            sop += c * OL(f"Sz{i}", ele_site, S[2])
+            sop -= c * OR(f"Sz{i}", ele_site, S[2])
+        for site, mult, A, i_ele in nuclei:
+            Svec = S1 if i_ele == 0 else S2
+            Imats = spin_matrices(mult)
+            c = abs(GAMMA_E) * A * scale
+            for r in range(3):
+                tagS, tagI = f"S{xyz[r]}{i_ele}", f"I{xyz[r]}{site}"
+                sop += c * OL(tagS, ele_site, Svec[r]) * OL(tagI, site, Imats[r])
+                sop -= c * OR(tagS, ele_site, Svec[r]) * OR(tagI, site, Imats[r])
+        if J != 0.0:
+            S1S2 = sum(a @ b for a, b in zip(S1, S2))
+            Hj = -J * abs(GAMMA_E) * scale * (2 * S1S2 + 0.5 * np.eye(4))
+            sop += OL("Hj", ele_site, Hj)
+            sop -= OR("Hj", ele_site, Hj)
+        if D0 != 0.0:
+            if D0 > 0:
+                raise ValueError("D0 must be ≤ 0 (axial dipolar tensor)")
+            Dt = (2.0 / 3.0) * np.diag((-1.0, -1.0, 2.0)) * D0
+            Hd = abs(GAMMA_E) * scale * sum(
+                Dt[k, k] * S1[k] @ S2[k] for k in range(3)
+            )
+            sop += OL("Hd", ele_site, Hd)
+            sop -= OR("Hd", ele_site, Hd)
+        for rate, Q, tag in ((kS, Qs, "Qs"), (kT, Qt, "Qt")):
+            if rate != 0.0:
+                c = -0.5j * rate * scale
+                sop += c * (OL(tag, ele_site, Q) + OR(tag, ele_site, Q))
+
+    # Zeeman for nuclei (z), either layout
+    for site, mult, _A, _i in nuclei:
         Iz = spin_matrices(mult)[2]
         c = -B0 * gamma_n(mult) * scale
         sop += c * OL(f"Iz{site}", site, Iz)
         sop -= c * OR(f"Iz{site}", site, Iz)
 
-    # isotropic hyperfine: |γe| Σ_ij A_ij (S_i · I_ij)
-    for site, mult, A in nuclei:
-        Svec = S1 if site < ele_site else S2
-        i_ele = 0 if site < ele_site else 1
-        Imats = spin_matrices(mult)
-        c = abs(GAMMA_E) * A * scale
-        for r in range(3):
-            tagS, tagI = f"S{xyz[r]}{i_ele}", f"I{xyz[r]}{site}"
-            sop += c * OL(tagS, ele_site, Svec[r]) * OL(tagI, site, Imats[r])
-            sop -= c * OR(tagS, ele_site, Svec[r]) * OR(tagI, site, Imats[r])
-
-    # exchange: −J|γe| (2 S1·S2 + E/2)
-    if J != 0.0:
-        S1S2 = sum(a @ b for a, b in zip(S1, S2))
-        Hj = -J * abs(GAMMA_E) * scale * (2 * S1S2 + 0.5 * np.eye(4))
-        sop += OL("Hj", ele_site, Hj)
-        sop -= OR("Hj", ele_site, Hj)
-
-    # dipolar: |γe| S1ᵀ·D·S2 with D = (2/3)·diag(−1,−1,2)·D0
-    if D0 != 0.0:
-        if D0 > 0:
-            raise ValueError("D0 must be ≤ 0 (axial dipolar tensor)")
-        Dt = (2.0 / 3.0) * np.diag((-1.0, -1.0, 2.0)) * D0
-        Hd = abs(GAMMA_E) * scale * sum(
-            Dt[k, k] * S1[k] @ S2[k] for k in range(3)
-        )
-        sop += OL("Hd", ele_site, Hd)
-        sop -= OR("Hd", ele_site, Hd)
-
-    # Haberkorn: i dρ/dt ⊇ −(i/2) Σ k_i {Q_i, ρ}
-    for rate, Q, tag in ((kS, Qs, "Qs"), (kT, Qt, "Qt")):
-        if rate != 0.0:
-            c = -0.5j * rate * scale
-            sop += c * (OL(tag, ele_site, Q) + OR(tag, ele_site, Q))
-
     # anchor every site so the MPO covers the full chain
-    dims = {site: mult**2 for site, mult, _ in nuclei}
-    dims[ele_site] = 16
+    dims = {site: mult**2 for site, mult, _, _ in nuclei}
+    if split_electron:
+        dims[ele_site] = 4
+        dims[ele_site + 1] = 4
+    else:
+        dims[ele_site] = 16
     eye_prod = get_eye_site(0, dims[0])
     for site in range(1, nsite):
         eye_prod = eye_prod * get_eye_site(site, dims[site])
@@ -191,17 +247,33 @@ def radical_pair_liouvillian(
     return basis, mpo, ele_site
 
 
-def singlet_product_state(basis, ele_site: int) -> list[list[float]]:
-    """Hartree product: vec(Qs) at the electron site, maximally mixed
-    nuclei (vec(1/d)) elsewhere — the notebook's initial ensemble."""
-    singlet = np.zeros(4, dtype=complex)
-    singlet[1], singlet[2] = 1 / math.sqrt(2), -1 / math.sqrt(2)
-    Qs = np.outer(singlet, singlet.conj())
-    hp = []
-    for isite, b in enumerate(basis):
+def singlet_product_state(basis, ele_site: int, split_electron: bool = False):
+    """Initial MPDO: singlet projector at the electron pair, maximally
+    mixed nuclei (vec(1/d)) elsewhere — the notebook's initial ensemble.
+
+    With ``split_electron`` the two-site vec(P_S) is returned as a pair of
+    entangled (l, n, r) cores (SVD split; the Hartree-product allocator
+    accepts 3-dim cores for exactly this purpose)."""
+    Qs = _singlet_projector()
+    hp: list = []
+    isite = 0
+    while isite < len(basis):
         if isite == ele_site:
+            if split_electron:
+                # vec(P_S) over two 4-dim sites: reorder (a1 a2, b1 b2) →
+                # (a1 b1), (a2 b2) and SVD-split
+                M = Qs.reshape(2, 2, 2, 2).transpose(0, 2, 1, 3).reshape(4, 4)
+                u, s, vh = np.linalg.svd(M)
+                r = int(np.sum(s > 1e-12))
+                a = (u[:, :r] * s[:r]).reshape(1, 4, r)
+                b = vh[:r].reshape(r, 4, 1)
+                hp.append(a)
+                hp.append(b)
+                isite += 2
+                continue
             hp.append(Qs.reshape(-1))
         else:
-            d = math.isqrt(b.nstate)
+            d = math.isqrt(basis[isite].nstate)
             hp.append(np.eye(d, dtype=complex).reshape(-1))
+        isite += 1
     return hp

@@ -134,3 +134,33 @@ def test_radical_pair_mpo_is_compact():
     basis, mpo, ele = radical_pair_liouvillian(hfcs_1=hf, hfcs_2=hf)
     widths = [c.shape[0] for c in mpo[1:]]
     assert max(widths) <= 16, widths
+
+
+def test_radical_pair_split_electron_matches_dense(tmp_path, monkeypatch):
+    """split_electron=True (one 4-dim site per electron spin — the
+    large-χ TN layout) reproduces the same dense trajectory: exchange /
+    dipolar / Haberkorn as two-site terms are exactly equivalent to the
+    notebook's single 16-dim pair site."""
+    monkeypatch.chdir(tmp_path)
+    basis, mpo, ele_site = radical_pair_liouvillian(
+        hfcs_1=[(2, 0.4)], hfcs_2=[(3, 0.5)],
+        B0=B0, J=J, D0=D0, kS=KS, kT=KT, scale=SCALE,
+        split_electron=True,
+    )
+    assert [b.nstate for b in basis] == [4, 4, 4, 9]
+    model = Model(basis, {"hamiltonian": mpo}, space="liouville", bond_dim=16)
+    model.init_HartreeProduct = [
+        singlet_product_state(basis, ele_site, split_electron=True)
+    ]
+    sim = Simulator("radpair_sp", model, verbose=0)
+    _, wf = sim.propagate(
+        maxstep=NSTEP, stepsize=DT * units.au_in_fs,
+        autocorr=False, energy=False, norm=False, populations=False,
+        conserve_norm=False, integrator="arnoldi",
+    )
+    # full electron-pair block after NSTEP steps, from the engine RDM:
+    # (a1,b1,a2,b2) kept site-major → ρ_e[(a1 a2), (b1 b2)]
+    got_pair = wf.engine.reduced_density_liouville((0, 2, 2))
+    got = np.asarray(got_pair).transpose(0, 2, 1, 3).reshape(4, 4)
+    want = _dense_trajectory()[-1]  # state after NSTEP steps
+    np.testing.assert_allclose(got, want, atol=5.0e-07)
