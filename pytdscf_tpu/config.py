@@ -51,6 +51,10 @@ class Config:
     #: "default" = one bf16 pass).  Environment-block recursions always
     #: stay at HIGHEST (their error compounds over the chain).
     matvec_precision: str = "highest"
+    #: Per-site Krylov iteration counters (reference per-site SIL logs);
+    #: off by default — the accumulation ops cost dispatch time in the
+    #: small-bond dispatch-bound regime.
+    per_site_telemetry: bool = False
     #: SVD regularisation floor for gauge moves (reference ``epsrho``).
     epsrho: float = 1.0e-08
     #: Display unit for exported time axes.

@@ -305,7 +305,7 @@ def _scan_site_steps(
         )
         return (
             (psi_next, blocks_new, logs_new, kry_sum + kry),
-            (sites_out, blocks_new, logs_new),
+            (sites_out, blocks_new, logs_new, kry),
         )
 
     kry0 = jnp.zeros((3,), jnp.int32)
@@ -569,6 +569,9 @@ class TDVPEngine:
         #: # calls, # max-dim cap hits], fetched lazily by
         #: :meth:`krylov_stats` (reference _Debug.niter_krylov)
         self._kry_sum: jax.Array | None = None
+        #: optional per-site [Σ iterations, calls, cap hits] device array
+        #: (reference per-site SIL logging; Config.per_site_telemetry)
+        self._kry_site: jax.Array | None = None
         self._kry_warned = False
         #: running max gauge deviation (pytest_enabled self-checks)
         self._gauge_dev: jax.Array | None = None
@@ -733,7 +736,9 @@ class TDVPEngine:
                 self._kry_sum = (
                     kry if self._kry_sum is None else self._kry_sum + kry
                 )
-                ys_sites, ys_blocks, ys_logs = ys
+                ys_sites, ys_blocks, ys_logs, ys_kry = ys
+                if cfg.per_site_telemetry:
+                    self._acc_site_kry_run(ps, ys_kry)
                 for t, pp in enumerate(ps):
                     for i in range(self.nstate):
                         self.cores[i][pp] = K.take_leading(ys_sites[i], t)
@@ -773,6 +778,8 @@ class TDVPEngine:
                 **static,
             )
             self._kry_sum = kry if self._kry_sum is None else self._kry_sum + kry
+            if cfg.per_site_telemetry:
+                self._acc_site_kry(p, kry)
             for i in range(self.nstate):
                 self.cores[i][p] = sites_out[i]
             if not last:
@@ -1621,6 +1628,31 @@ class TDVPEngine:
     def krylov_average(self, reset: bool = True) -> float:
         """Mean Krylov dimension per local exponential since the last call."""
         return self.krylov_stats(reset)[0]
+
+    # --------------------------------------------- per-site Krylov telemetry
+    def _acc_site_kry(self, p: int, kry) -> None:
+        if self._kry_site is None:
+            self._kry_site = jnp.zeros((self.nsite, 3), jnp.int32)
+        self._kry_site = self._kry_site.at[p].add(kry)
+
+    def _acc_site_kry_run(self, ps, ys_kry) -> None:
+        if self._kry_site is None:
+            self._kry_site = jnp.zeros((self.nsite, 3), jnp.int32)
+        self._kry_site = self._kry_site.at[jnp.asarray(ps)].add(ys_kry)
+
+    def krylov_site_stats(self, reset: bool = True) -> np.ndarray:
+        """(nsite, 3) array of per-site [Σ Krylov iterations, # calls,
+        # cap hits] since the last call — the reference's per-site SIL
+        iteration logging (``_integrator.py`` ``_iter_info`` telemetry).
+        Requires ``Config.per_site_telemetry`` (off by default: the extra
+        per-site accumulation ops cost real dispatch time in the
+        dispatch-bound small-bond regime)."""
+        if self._kry_site is None:
+            return np.zeros((self.nsite, 3), np.int64)
+        out = np.asarray(self._kry_site).astype(np.int64)
+        if reset:
+            self._kry_site = None
+        return out
 
     def flops_estimate(self, avg_krylov: float = 1.0) -> float:
         """Algorithmic real FLOPs of ONE time step (two half-sweeps) —

@@ -15,6 +15,19 @@ from pytdscf_tpu.simulator import Simulator
 from tests.test_exciton_propagate import _build_hamiltonian, prim_info
 
 
+@pytest.fixture(autouse=True)
+def _clear_between_adaptive_tests():
+    """The adaptive sweeps trace many distinct bond shapes; XLA:CPU's
+    in-process JIT deterministically segfaults compiling the 4th test's
+    programs on top of the accumulated state (reproduced solo, crash in
+    backend_compile_and_load).  Clearing between tests keeps each
+    compilation starting from a clean code heap."""
+    import jax
+
+    yield
+    jax.clear_caches()
+
+
 def test_adaptive_grows_and_matches(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     hamiltonian = _build_hamiltonian()

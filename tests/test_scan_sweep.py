@@ -75,3 +75,37 @@ def test_scan_sweep_relax_modes():
     e_ref = ref.expectation(ref.hamiltonian)
     e_scn = scn.expectation(scn.hamiltonian)
     assert e_scn.real == pytest.approx(e_ref.real, abs=1e-10)
+
+
+def test_per_site_krylov_telemetry():
+    """Per-site Krylov counters (Config.per_site_telemetry) sum to the
+    global telemetry, in both the scan-compiled and per-site sweeps."""
+    import numpy as np
+
+    from pytdscf_tpu.config import Config
+    from pytdscf_tpu.mps.lattice import alloc_hartree_product
+    from pytdscf_tpu.mps.tdvp import TDVPEngine
+    from pytdscf_tpu.models.holstein import singlet_fission_chain
+
+    basis, ham = singlet_fission_chain(n_left=3, n_right=4)
+    phys = [b.nprim for b in basis]
+    ham.fused_mpo(phys)
+    vecs = []
+    for i, b in enumerate(basis):
+        v = np.zeros(b.nprim, complex)
+        v[1 if i == 3 else 0] = 1.0
+        vecs.append(v)
+    for scan in (False, True):
+        cfg = Config(jobname=f"kst{scan}", scan_sweep=scan,
+                     per_site_telemetry=True, max_krylov=8)
+        eng = TDVPEngine(
+            [alloc_hartree_product(phys, 6, vecs)], ham, cfg
+        )
+        eng.propagate(0.05)
+        site = eng.krylov_site_stats(reset=False)
+        avg, calls, capped = eng.krylov_stats()
+        assert site.shape == (len(basis), 3)
+        assert site[:, 1].sum() == calls
+        assert site[:, 0].sum() == round(avg * calls)
+        # interior sites each ran H+K solves in both half-sweeps
+        assert (site[1:-1, 1] >= 2).all()
