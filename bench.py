@@ -36,6 +36,7 @@ def main() -> None:
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
     import numpy as np
 
