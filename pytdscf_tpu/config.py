@@ -51,6 +51,10 @@ class Config:
     #: "default" = one bf16 pass).  Environment-block recursions always
     #: stay at HIGHEST (their error compounds over the chain).
     matvec_precision: str = "highest"
+    #: Fixed scan-run chunk length: every distinct scan length compiles
+    #: its own XLA program, so uniform runs are cut into scan_chunk-sized
+    #: pieces sharing one compilation (remainders go per-site).
+    scan_chunk: int = 16
     #: Per-site Krylov iteration counters (reference per-site SIL logs);
     #: off by default — the accumulation ops cost dispatch time in the
     #: small-bond dispatch-bound regime.

@@ -652,6 +652,7 @@ class TDVPEngine:
             )
 
         runs: dict[int, int] = {}
+        chunk = max(int(self.config.scan_chunk), 4)
         k = 1  # position 0 can never scan: trivial (1,1,1) system blocks
         while k < len(order) - 1:
             s = sig(k)
@@ -662,11 +663,24 @@ class TDVPEngine:
             m = k
             while m + 1 < len(order) - 1 and sig(m + 1) == s:
                 m += 1
-            if m - k + 1 >= 4:
-                runs[k] = m - k + 1
-                k = m + 1
-            else:
-                k += 1
+            n = m - k + 1
+            # every distinct scan LENGTH compiles its own XLA program
+            # (~10× a per-site compile), so long runs are emitted as
+            # fixed scan_chunk-sized pieces sharing ONE compilation; the
+            # remainder (and runs shorter than a chunk) use the per-site
+            # path, whose shape programs exist anyway
+            while n >= chunk:
+                runs[k] = chunk
+                k += chunk
+                n -= chunk
+            half = chunk // 2
+            if half >= 4 and n >= half:
+                # one half-chunk mops up most of the remainder: at most
+                # TWO distinct scan lengths (= two compilations) per
+                # shape bucket, < chunk/2 sites left to the per-site path
+                runs[k] = half
+                k += half
+            k = m + 1
         return runs
 
     def _half_sweep(self, scale, forward: bool, mode: str) -> None:

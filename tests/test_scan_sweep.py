@@ -28,6 +28,7 @@ def _build(scan: bool, n_left=8, n_right=13, bond=8):
     cores = [alloc_hartree_product(phys, bond, vecs)]
     config = Config(
         jobname=f"scan{scan}", conserve_norm=True, scan_sweep=scan,
+        scan_chunk=4,
         thresh_exp=1e-10,
     )
     return TDVPEngine(cores, ham, config)
