@@ -36,7 +36,13 @@ def main() -> None:
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_enable_x64", True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    # platform-suffixed cache: XLA:CPU AOT entries compiled on a different
+    # machine type (the VM migrates) can SIGILL when reloaded, and mixing
+    # backends in one dir risks exactly that during CPU smoke runs
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        f"/tmp/jaxcache-{jax.devices()[0].platform}",
+    )
 
     import numpy as np
 

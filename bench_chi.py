@@ -51,7 +51,11 @@ def main() -> None:
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_enable_x64", True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    # platform-suffixed cache (cross-machine XLA:CPU AOT entries can SIGILL)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        f"/tmp/jaxcache-{jax.devices()[0].platform}",
+    )
 
     import numpy as np
 
@@ -123,6 +127,7 @@ def main() -> None:
         conserve_norm=False,
         integrator="arnoldi",
         matvec_precision=prec,
+        env_precision=os.environ.get("BENCH_EPREC", prec),
         scan_sweep=os.environ.get("BENCH_SCAN", "1") != "0",
     )
     engine = TDVPEngine([cores], model.hamiltonian, config)

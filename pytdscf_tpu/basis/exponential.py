@@ -34,9 +34,21 @@ class Exponential(DVRPrimitivesMixin):
         ) / np.sqrt(self.L)
 
     def get_pos_rep_matrix(self) -> np.ndarray:
-        raise NotImplementedError(
-            "Exponential DVR grids are set analytically; no position matrix."
-        )
+        r"""Analytic FBR position matrix ⟨φ_m|x̂|φ_n⟩ on [x₀, x₀+L].
+
+        Diagonal x₀ + L/2; off-diagonal −iL/(2π(n−m)) (sawtooth-x Fourier
+        coefficients).  The reference leaves this NotImplemented
+        (``basis/exponential.py:93``) since the analytic grid construction
+        never needs it; provided for completeness, quadrature-tested.
+        """
+        if not hasattr(self, "pos_rep_matrix"):
+            n = np.arange(self.ngrid)
+            k = n[None, :] - n[:, None]  # n − m
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mat = -1j * self.L / (2.0 * np.pi * k)
+            np.fill_diagonal(mat, self.x0 + self.L / 2.0)
+            self.pos_rep_matrix = mat
+        return self.pos_rep_matrix
 
     def get_1st_derivative_matrix_dvr(self) -> np.ndarray:
         if not hasattr(self, "first_derivative_matrix_dvr"):

@@ -51,6 +51,12 @@ class Config:
     #: "default" = one bf16 pass).  Environment-block recursions always
     #: stay at HIGHEST (their error compounds over the chain).
     matvec_precision: str = "highest"
+    #: Matmul-pass precision for the environment-block transfer
+    #: contractions.  Default f32-exact (errors compound over the chain);
+    #: "high" (bf16x3, ~1e-7 relative per transfer) is safe for short
+    #: chains in the compute-bound large-χ regime — blocks are
+    #: renormalised per site, so tens of sites compound to ≪ 1e-5.
+    env_precision: str = "highest"
     #: Fixed scan-run chunk length: every distinct scan length compiles
     #: its own XLA program, so uniform runs are cut into scan_chunk-sized
     #: pieces sharing one compilation (remainders go per-site).

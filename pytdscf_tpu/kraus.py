@@ -139,7 +139,7 @@ def kraus_rank(B: np.ndarray) -> int:
     return int(np.asarray(B).shape[0])
 
 
-def trace_kraus_dim(rdm: np.ndarray, d: int) -> np.ndarray:
+def trace_out_ancilla(rdm: np.ndarray, d: int) -> np.ndarray:
     """Trace the ancilla (Kraus) subdimension out of a combined-site RDM.
 
     ``rdm`` has physical⊗ancilla legs of size d·K; returns the d×d system
@@ -154,6 +154,31 @@ def trace_kraus_dim(rdm: np.ndarray, d: int) -> np.ndarray:
     if rdm.ndim == 2:
         return np.einsum("dKxK->dx", rdm.reshape(d, K, d, K))
     return np.einsum("tdKxK->tdx", rdm.reshape(-1, d, K, d, K))
+
+
+def trace_kraus_dim(*args):
+    """Deprecated: ``trace_kraus_dim(B)`` meant the channel rank in an
+    earlier revision; use :func:`kraus_rank` for that, or
+    :func:`trace_out_ancilla` for the ancilla partial trace."""
+    import warnings
+
+    if len(args) == 1:
+        warnings.warn(
+            "trace_kraus_dim(B) is deprecated; use kraus_rank(B)",
+            DeprecationWarning, stacklevel=2,
+        )
+        return kraus_rank(args[0])
+    if len(args) == 2:
+        warnings.warn(
+            "trace_kraus_dim(rdm, d) is deprecated; use "
+            "trace_out_ancilla(rdm, d)",
+            DeprecationWarning, stacklevel=2,
+        )
+        return trace_out_ancilla(*args)
+    raise TypeError(
+        "trace_kraus_dim takes 1 (deprecated kraus_rank) or 2 "
+        "(deprecated trace_out_ancilla) arguments"
+    )
 
 
 def _masked_svd(mat, keep: int):

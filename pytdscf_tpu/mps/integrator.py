@@ -62,6 +62,12 @@ def krylov_expm(
         psi_next, k_used, bad = _lanczos_loop(
             matvec, v0, scale, thresh, k_max, n, dtype
         )
+    if k_max >= n:
+        # the Krylov space spanned the WHOLE vector space: the result is
+        # exact by construction, never a cap failure (the reference
+        # declares `is_converged` at ldim + 1 == maxsize likewise,
+        # ``_integrator.py:569,639-643``)
+        bad = jnp.asarray(False)
 
     if conserve_norm:
         out = psi_next / jnp.linalg.norm(psi_next)
@@ -135,7 +141,7 @@ def _lanczos_loop(matvec, v0, scale, thresh, k_max, n, dtype):
 def _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype):
     V = jnp.zeros((k_max + 1, n), dtype=dtype).at[0].set(v0)
     H = jnp.zeros((k_max + 1, k_max), dtype=dtype)
-    psi0 = jnp.zeros((n,), dtype=dtype)
+    c0 = jnp.zeros((k_max,), dtype=dtype)
     row = jnp.arange(k_max)[:, None]
     col = jnp.arange(k_max)[None, :]
 
@@ -144,7 +150,7 @@ def _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype):
         return ~done
 
     def body(carry):
-        V, H, k, psi_prev, _, _ = carry
+        V, H, k, c_prev, _, _ = carry
         w = matvec(V[k])
         # Full Gram–Schmidt (inactive rows are zero — harmless projections).
         h = jnp.einsum("in,n->i", V.conj(), w)
@@ -157,19 +163,24 @@ def _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype):
         mask = ((row <= k) & (col <= k)).astype(dtype)
         T = H[:k_max, :k_max] * mask
         c = expm(scale * T)[:, 0]
-        psi_next = c @ V[:k_max]
-        err = jnp.linalg.norm(psi_next - psi_prev)
+        # V is orthonormal (full GS), so ‖ψ(k) − ψ(k−1)‖ = ‖c_k − c_{k−1}‖:
+        # the convergence test runs in the k_max-dim coefficient space and
+        # the n-dim iterate is materialised ONCE after the loop — at large
+        # bond dimension the per-iteration c·V readback of the Krylov
+        # buffer (k_max·n complex) dominated the non-matvec cost.
+        err = jnp.linalg.norm(c - c_prev)
         conv = (k > 0) & (err < thresh)
         breakdown = b < EPS
         capped = k + 1 >= k_max
         done = conv | breakdown | capped
         bad = capped & ~conv & ~breakdown
-        return V, H, k + 1, psi_next, bad, done
+        return V, H, k + 1, c, bad, done
 
     carry = (
-        V, H, jnp.asarray(0), psi0, jnp.asarray(False), jnp.asarray(False)
+        V, H, jnp.asarray(0), c0, jnp.asarray(False), jnp.asarray(False)
     )
-    *_, k_fin, psi_next, bad, _ = jax.lax.while_loop(cond, body, carry)
+    V, _, k_fin, c_fin, bad, _ = jax.lax.while_loop(cond, body, carry)
+    psi_next = c_fin @ V[:k_max]
     return psi_next, k_fin, bad
 
 

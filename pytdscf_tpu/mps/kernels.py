@@ -182,25 +182,33 @@ def keff_apply(
     )
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("prec",))
 def renorm_block_left(
-    L: jax.Array, a_bra: jax.Array, W: jax.Array, a_ket: jax.Array
+    L: jax.Array, a_bra: jax.Array, W: jax.Array, a_ket: jax.Array,
+    prec: str = "highest",
 ) -> jax.Array:
-    """L'[o, c, p] = Σ A*_bra[b,i,o] · W[a,i,j,c] · A_ket[k,j,p] · L[b,a,k]."""
+    """L'[o, c, p] = Σ A*_bra[b,i,o] · W[a,i,j,c] · A_ket[k,j,p] · L[b,a,k].
+
+    ``prec`` defaults to f32-exact accumulation: block errors compound
+    multiplicatively over the chain.  The engine's ``env_precision`` knob
+    lowers it to bf16x3 for short chains in the compute-bound large-χ
+    regime (~1e-7 relative per transfer; blocks are renormalised each
+    site, so over tens of sites the compounded error stays ≪ 1e-5)."""
     return jnp.einsum(
         "bak,bio,aijc,kjp->ocp", L, a_bra.conj(), W, a_ket,
-        optimize=True, precision=PRECISION,
+        optimize=True, precision=PREC_MAP[prec],
     )
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("prec",))
 def renorm_block_right(
-    R: jax.Array, b_bra: jax.Array, W: jax.Array, b_ket: jax.Array
+    R: jax.Array, b_bra: jax.Array, W: jax.Array, b_ket: jax.Array,
+    prec: str = "highest",
 ) -> jax.Array:
     """R'[o, c, p] = Σ B*_bra[o,i,b] · W[c,i,j,a] · B_ket[p,j,k] · R[b,a,k]."""
     return jnp.einsum(
         "bak,oib,cija,pjk->ocp", R, b_bra.conj(), W, b_ket,
-        optimize=True, precision=PRECISION,
+        optimize=True, precision=PREC_MAP[prec],
     )
 
 

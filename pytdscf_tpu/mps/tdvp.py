@@ -118,6 +118,7 @@ def _site_step_impl(
     last: bool,
     forward: bool,
     mv_prec: str = "highest",
+    env_prec: str = "highest",
 ):
     """One fused TDVP site update.  Returns (site_out, psi_next, blocks_new).
 
@@ -165,7 +166,7 @@ def _site_step_impl(
         sites_out = tuple(q for q, _ in qr_out)
         svals = tuple(s for _, s in qr_out)
         raw = [
-            K.renorm_block_left(L, sites_out[i], W, sites_out[j])
+            K.renorm_block_left(L, sites_out[i], W, sites_out[j], env_prec)
             for (i, j), L, W in zip(pairs, Ls, Ws)
         ]
         env_blocks, l_env = Rs, lRs
@@ -175,7 +176,7 @@ def _site_step_impl(
         svals = tuple(s for s, _ in qr_out)
         sites_out = tuple(b for _, b in qr_out)
         raw = [
-            K.renorm_block_right(R, sites_out[i], W, sites_out[j])
+            K.renorm_block_right(R, sites_out[i], W, sites_out[j], env_prec)
             for (i, j), R, W in zip(pairs, Rs, Ws)
         ]
         env_blocks, l_env = Ls, lLs
@@ -242,6 +243,7 @@ _site_step = partial(
         "last",
         "forward",
         "mv_prec",
+        "env_prec",
     ),
 )(_site_step_impl)
 
@@ -257,6 +259,7 @@ _site_step = partial(
         "max_dim",
         "forward",
         "mv_prec",
+        "env_prec",
     ),
 )
 def _scan_site_steps(
@@ -278,6 +281,7 @@ def _scan_site_steps(
     max_dim: int,
     forward: bool,
     mv_prec: str = "highest",
+    env_prec: str = "highest",
 ):
     """A RUN of uniform-shape site steps as ONE ``lax.scan`` program.
 
@@ -301,7 +305,7 @@ def _scan_site_steps(
             pairs=pairs, nstate=nstate, mode=mode,
             conserve_norm=conserve_norm, arnoldi=arnoldi,
             max_dim=max_dim, last=False, forward=forward,
-            mv_prec=mv_prec,
+            mv_prec=mv_prec, env_prec=env_prec,
         )
         return (
             (psi_next, blocks_new, logs_new, kry_sum + kry),
@@ -451,7 +455,7 @@ def _adaptive_masked_site(
     )
     sigs = K.split_states(svec, sshapes)
 
-    psi_next = []
+    sigs_out = []
     for i in range(nstate):
         sig0 = sigs[i]
         a0 = a_sites[i]
@@ -485,15 +489,23 @@ def _adaptive_masked_site(
         sig = jnp.where(
             cmask[None, :] if forward else cmask[:, None], sig, 0.0
         )
-        if conserve_norm and mode != "improved":
-            nrm = jnp.linalg.norm(sig)
-            sig = sig / jnp.maximum(
-                nrm, jnp.asarray(1e-30, nrm.dtype)
-            ).astype(dtype)
+        sigs_out.append(sig)
+    if conserve_norm and mode != "improved":
+        # restore the STACKED all-state norm removed by truncation and
+        # scrubbing (the K-step already normalised the stacked vector);
+        # normalising each state separately would equalise electronic
+        # populations and inflate the total norm to sqrt(nstate)
+        tot = sum(jnp.sum(jnp.abs(s) ** 2) for s in sigs_out)
+        fac = jax.lax.rsqrt(
+            jnp.maximum(tot, jnp.asarray(1e-60, tot.dtype))
+        ).astype(dtype)
+        sigs_out = [s * fac for s in sigs_out]
+    psi_next = []
+    for i in range(nstate):
         if forward:
-            psi_next.append(K.absorb_right(sig, next_cores[i]))
+            psi_next.append(K.absorb_right(sigs_out[i], next_cores[i]))
         else:
-            psi_next.append(K.absorb_left(next_cores[i], sig))
+            psi_next.append(K.absorb_left(next_cores[i], sigs_out[i]))
 
     blocks_new, logs_new = _renorm_blocks_logged(
         sys_blocks, sys_logs, tuple(a_sites), Ws, tuple(a_sites),
@@ -712,6 +724,7 @@ class TDVPEngine:
             arnoldi=cfg.integrator == "arnoldi",
             max_dim=cfg.max_krylov,
             mv_prec=cfg.matvec_precision,
+            env_prec=cfg.env_precision,
         )
         pos = 0
         while pos < len(order):
@@ -1053,6 +1066,8 @@ class TDVPEngine:
                 )
                 sigs = K.split_states(svec, sshapes)
             # SVD truncation of each bond
+            truncated = False
+            new_sigs = []
             for i in range(self.nstate):
                 sig = sigs[i]
                 u, sv, vh = jnp.linalg.svd(sig, full_matrices=False)
@@ -1065,6 +1080,7 @@ class TDVPEngine:
                     keep = 1
                 keep = max(keep, 1)
                 if keep < sv_host.size:
+                    truncated = True
                     if forward:
                         # A ← A·u_k ; σ ← s_k·v_k†  (keep, r)
                         a_sites[i] = dio.jeinsum(
@@ -1077,8 +1093,18 @@ class TDVPEngine:
                             "mk,knr->mnr", vh[:keep], a_sites[i]
                         )
                         sig = (u[:, :keep] * sv[:keep]).astype(self.dtype)
-                    if cfg.conserve_norm and mode != "improved":
-                        sig = sig / jnp.linalg.norm(sig)
+                new_sigs.append(sig)
+            if truncated and cfg.conserve_norm and mode != "improved":
+                # restore the STACKED all-state norm removed by truncation
+                # (per-state normalisation would equalise electronic
+                # populations for nstate > 1 — see _adaptive_masked_site)
+                tot = sum(
+                    float(np.asarray(dio.norm2(s))) for s in new_sigs
+                )
+                fac = 1.0 / np.sqrt(max(tot, 1e-60))
+                new_sigs = [s * fac for s in new_sigs]
+            for i in range(self.nstate):
+                sig = new_sigs[i]
                 self.cores[i][p] = a_sites[i]
                 if forward:
                     self.cores[i][q] = K.absorb_right(sig, self.cores[i][q])

@@ -113,7 +113,20 @@ class Properties:
                     dim = f"Q{idof}"
                     if dim in w._dim_order:
                         continue
-                    ngrid = model.basinfo.get_ngrid(0, idof)
+                    # rho_{key}_{istate} is exported for EVERY state on the
+                    # same Q{idof} dimension, so all states must share the
+                    # primitive grid size for exported DOFs
+                    grids = {
+                        model.basinfo.get_ngrid(ist, idof)
+                        for ist in range(max(nstate, 1))
+                    }
+                    if len(grids) != 1:
+                        raise ValueError(
+                            f"reduced-density DOF {idof} has state-dependent"
+                            f" grid sizes {sorted(grids)}; netCDF export "
+                            "requires a shared grid across states"
+                        )
+                    ngrid = grids.pop()
                     if config.space == "liouville":
                         ngrid = math.isqrt(ngrid)
                     w.create_dimension(dim, ngrid)

@@ -22,6 +22,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# opt in to the engine's in-sweep numerical self-checks for THIS repo's
+# suite only (downstream users' pytest runs are unaffected — the simulator
+# gates on this variable, not on the generic PYTEST_CURRENT_TEST)
+os.environ["PYTDSCF_TPU_SELFCHECK"] = "1"
+
 
 import pytest  # noqa: E402
 

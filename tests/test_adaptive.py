@@ -160,3 +160,44 @@ def test_adaptive_no_expansion_is_exact(tmp_path, monkeypatch):
         adaptive_p_proj=1.0e-09, adaptive_p_svd=0.0,
     )
     assert ener == pytest.approx(0.010000180312707298)
+
+
+def test_adaptive_masked_multistate_norm_and_populations(tmp_path, monkeypatch):
+    """Multi-state masked a1TDVP: the truncation rescale must restore the
+    STACKED all-state norm, not normalise each state separately (which
+    would equalise electronic populations and inflate the total norm to
+    sqrt(nstate) every site update).  Ground truth: the fixed-bond engine
+    at the same Dmax."""
+    monkeypatch.chdir(tmp_path)
+    from pytdscf_tpu.basis import PrimBas_HO
+    from pytdscf_tpu.model import BasInfo, Model
+    from pytdscf_tpu.operators.sop import PolynomialHamiltonian
+    from pytdscf_tpu.util.helper_input import matJ_1D_exciton
+
+    freqs = [763.31, 1556.64]
+    disps = [0.317, 0.429]
+    s0 = [PrimBas_HO(0.0, f, 5) for f in freqs]
+    s1 = [PrimBas_HO(d, f, 5) for f, d in zip(freqs, disps)]
+    prim, _, _, matJ = matJ_1D_exciton(2, 5, s0, s1, 1.0e-03)
+    basinfo = BasInfo(prim)
+    ham = PolynomialHamiltonian(basinfo.get_ndof(), basinfo.get_nstate())
+    ham.coupleJ = matJ
+    ham.set_HO_potential(basinfo)
+
+    def build():
+        m = Model(basinfo, {"hamiltonian": ham}, bond_dim=4)
+        m.init_weight_ESTATE = [1.0, 0.0]
+        return m
+
+    kw = dict(stepsize=0.1, maxstep=10)
+    _, wf_fix = Simulator("ms_fix", build(), verbose=0).propagate(**kw)
+    _, wf_msk = Simulator("ms_msk", build(), verbose=0).propagate(
+        adaptive=True, adaptive_masked=True, adaptive_Dmax=4,
+        adaptive_dD=2, adaptive_p_proj=1.0e-09, adaptive_p_svd=1.0e-09,
+        **kw,
+    )
+    pop_fix = wf_fix.engine.pop_states()
+    pop_msk = wf_msk.engine.pop_states()
+    # populations transferred but NOT equalised; total norm stays 1
+    assert sum(pop_msk) == pytest.approx(1.0, abs=1e-8)
+    np.testing.assert_allclose(pop_msk, pop_fix, atol=1e-5)

@@ -48,3 +48,20 @@ def test_exponential_dvr_free_rotor():
     evals = np.sort(np.linalg.eigvalsh(h).real)
     ms = np.sort(np.abs(np.arange(-(n // 2), n // 2 + 1)))
     np.testing.assert_allclose(evals[:7], 0.5 * ms[:7] ** 2.0, atol=1e-08)
+
+
+def test_exponential_pos_rep_matrix_quadrature():
+    """Analytic ⟨φ_m|x̂|φ_n⟩ matches numerical quadrature (the reference
+    leaves get_pos_rep_matrix NotImplemented; we provide the sawtooth-x
+    Fourier matrix)."""
+    n, L, x0 = 7, 3.5, -1.25
+    expo = Exponential(n, length=L, x0=x0)
+    M = expo.get_pos_rep_matrix()
+    np.testing.assert_allclose(M, M.conj().T, atol=1e-14)  # Hermitian
+    x = np.linspace(x0, x0 + L, 20001)
+    ref = np.empty((n, n), dtype=complex)
+    for m in range(n):
+        fm = np.conjugate(expo.fbr_func(m, x))
+        for k in range(n):
+            ref[m, k] = np.trapezoid(fm * x * expo.fbr_func(k, x), x)
+    np.testing.assert_allclose(M, ref, atol=1e-6)

@@ -20,7 +20,7 @@ from scipy.linalg import expm
 
 from pytdscf_tpu import units
 from pytdscf_tpu.basis import Exciton
-from pytdscf_tpu.kraus import lindblad_to_kraus, trace_kraus_dim
+from pytdscf_tpu.kraus import lindblad_to_kraus, trace_out_ancilla
 from pytdscf_tpu.model import Model
 from pytdscf_tpu.operators.symbolic import (
     AssignManager,
@@ -174,7 +174,7 @@ def test_purified_kraus_single_site(tmp_path):
         "pur1", dims, mpo, [anc0, phys1, centre, phys3, anc4],
         {(2,): B}, rd_site=2,
     )
-    rdms = trace_kraus_dim(rdms, 3)
+    rdms = trace_out_ancilla(rdms, 3)
     np.testing.assert_allclose(rdms[0], rdms_exact[0], atol=1e-12)
     np.testing.assert_allclose(rdms[-1], rdms_exact[NSTEP - 1], atol=2e-2)
 

@@ -69,3 +69,20 @@ def test_load_autocorr_validates(tmp_path):
     _write_autocorr(path, t, a)
     with pytest.raises(ValueError):
         spectra.load_autocorr(path)
+
+
+def test_reference_literal_h2o_peak():
+    """Pin the full load→window→FFT pipeline to the reference's exact
+    anchor: peak 2684.0796620397296 cm⁻¹ / intensity 28860.651565826236
+    (``/root/reference/tests/test_spectra.py:20-21`` on its bundled
+    ``tests/autocorr.dat`` H2O autocorrelation fixture — the fixture is
+    physical run data, carried verbatim for parity)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "autocorr.dat"
+    )
+    t, a = spectra.load_autocorr(path)
+    freq, inten = spectra.ifft_autocorr(t, a)
+    assert max(inten) == pytest.approx(28860.651565826236)
+    assert freq[np.argmax(inten)] == pytest.approx(2684.0796620397296)
