@@ -121,7 +121,9 @@ def main() -> None:
     config = Config(
         jobname="bench_chi",
         space="liouville",
-        thresh_exp=1.0e-06 if on_tpu else 1.0e-09,
+        thresh_exp=float(os.environ.get(
+            "BENCH_THRESH", "1.0e-06" if on_tpu else "1.0e-09"
+        )),
         max_krylov=krylov,
         dtype=dtype,
         conserve_norm=False,

@@ -64,8 +64,16 @@ def _mgs_qr(m: jax.Array) -> tuple[jax.Array, jax.Array]:
     return Q, R
 
 
+import os as _os
+
+#: CholeskyQR refinement rounds (3 = belt-and-braces f32 orthogonality
+#: ~6e-7; 2 keeps ~1e-5 on well-conditioned gauges — a perf/accuracy knob
+#: for the large-χ bench).
+CHQR_ITERS = int(_os.environ.get("PYTDSCF_CHQR_ITERS", "3"))
+
+
 def _cholesky_qr(
-    m: jax.Array, shift_rel: float = 1.0e-06, iters: int = 3
+    m: jax.Array, shift_rel: float = 1.0e-06, iters: int = CHQR_ITERS
 ) -> tuple[jax.Array, jax.Array]:
     """Thin QR by shifted CholeskyQR³ — the large-bond TPU gauge kernel.
 
@@ -124,7 +132,21 @@ def thin_qr(mat: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def _thin_qr(mat: jax.Array) -> tuple[jax.Array, jax.Array]:
     if jax.default_backend() == "cpu":
-        return jnp.linalg.qr(mat)
+        q, r = jnp.linalg.qr(mat)
+        # Dead-channel invariant (matches the CholeskyQR kernel): LAPACK
+        # fills the Q columns of exactly-zero input columns with basis
+        # completions ("junk").  Downstream fixed-shape code (the masked
+        # adaptive sweep, the padded SPMD chain) relies on dead channels
+        # staying EXACTLY zero — junk there leaks through environment
+        # cross-terms into σ-annihilated channels and silently loses
+        # amplitude.  Zero columns are TRAILING in every caller (bond
+        # padding; singular values sorted before masking), so R's dead
+        # rows are already zero (upper triangular) and masking is exact.
+        k = q.shape[1]
+        live = (jnp.sum(jnp.abs(mat), axis=0) > 0)[:k]
+        q = q * live[None, :].astype(q.dtype)
+        r = r * live[:, None].astype(r.dtype)
+        return q, r
     N, r = mat.shape
     if r >= CHOLESKY_QR_MIN_R and N >= r:
         return _cholesky_qr(mat)

@@ -234,6 +234,9 @@ class PITDVP:
     ):
         #: legacy single-state call shape: a flat list of site arrays
         self._flat_input = not isinstance(cores[0], (list, tuple))
+        #: the user-level Hamiltonian (pre state-to-site conversion) —
+        #: gather-based observables and checkpoints speak this language
+        self._orig_ham = hamiltonian
         states = [list(cores)] if self._flat_input else [
             list(st) for st in cores
         ]
@@ -268,6 +271,11 @@ class PITDVP:
             raise ValueError("nsite must divide evenly into segments")
         self.P = n_segments
         self.m = nsite // n_segments
+        if self.m < 2:
+            raise ValueError(
+                "chain-parallel segments need >= 2 sites each "
+                f"(got {nsite} sites over {n_segments} segments)"
+            )
         self.nsite = nsite
         self.config = config
         self.dtype = jnp.dtype(config.dtype)
@@ -612,7 +620,19 @@ class PITDVP:
         self.mode[b] = "plain"
 
     # ------------------------------------------------------------ driver
-    def propagate(self, dt: float, max_bond: int | None = None) -> None:
+    def propagate(
+        self,
+        dt: float,
+        max_bond: int | None = None,
+        one_gate_to_apply=None,
+        kraus_op=None,
+    ) -> None:
+        if one_gate_to_apply is not None or kraus_op is not None:
+            raise NotImplementedError(
+                "gate/Kraus application is not supported under the "
+                "chain-parallel sweep; run serial (no "
+                "parallel_split_indices) for open-system channels"
+            )
         if max_bond is None:
             max_bond = max(
                 c.shape[0] for st in self.cores for c in st
@@ -703,6 +723,8 @@ class PITDVP:
         return [out] if self._flat_input else out
 
     def norm(self) -> float:
+        if self.config.space == "liouville":
+            return abs(self.trace())
         states = self._serial_states()
         n2 = 0.0
         for cores in states:
@@ -725,7 +747,63 @@ class PITDVP:
             pops.append(float(S[0, 0].real))
         return pops
 
-    def expectation(self) -> float:
+    def to_numpy(self):
+        """Checkpoint payload (user-level per-state core lists)."""
+        return self.to_serial_cores()
+
+    def _gather_engine(self):
+        """Serial engine on the gathered state — the fallback for
+        observables with no distributed pipeline yet (reference gathers
+        likewise for its rank-0-only properties,
+        ``_mps_parallel.py:1416``)."""
+        from pytdscf_tpu.mps.tdvp import TDVPEngine
+
+        eng = TDVPEngine(
+            [list(st) for st in self._serial_states()],
+            self._orig_ham,
+            self.config,
+        )
+        eng.right_canonicalize()
+        return eng
+
+    def autocorr(self) -> complex:
+        """T/2-trick ⟨Ψ*|Ψ⟩ (unconjugated transfer)."""
+        total = 0.0 + 0.0j
+        for cores in self._serial_states():
+            S = np.ones((1, 1), dtype=complex)
+            for c in cores:
+                S = np.einsum("bk,bno,knp->op", S, c, c, optimize=True)
+            total += S[0, 0]
+        return complex(total)
+
+    def trace(self, istate: int = 0) -> complex:
+        """Tr ρ of a vectorised-density-matrix chain (Liouville space)."""
+        import math
+
+        cores = self._serial_states()[istate]
+        S = np.ones((1,), dtype=complex)
+        for c in cores:
+            d = int(math.isqrt(c.shape[1]))
+            w = np.eye(d).reshape(-1)
+            S = np.einsum("l,lnr,n->r", S, c, w, optimize=True)
+        return complex(S[0])
+
+    def bond_dims(self, istate: int = 0) -> list[int]:
+        return [int(c.shape[2]) for c in self._serial_states()[istate][:-1]]
+
+    def reduced_density(self, remain_nleg, istate: int = 0) -> np.ndarray:
+        return self._gather_engine().reduced_density(remain_nleg, istate)
+
+    def reduced_density_liouville(
+        self, remain_nleg, istate: int = 0
+    ) -> np.ndarray:
+        return self._gather_engine().reduced_density_liouville(
+            remain_nleg, istate
+        )
+
+    def expectation(self, operator=None) -> float:
+        if operator is not None and operator is not self._orig_ham:
+            return self._gather_engine().expectation(operator)
         # the internal (possibly state-to-site-converted) chain matches
         # self.pairs / self.W / self.nsite
         states = self._internal_serial()

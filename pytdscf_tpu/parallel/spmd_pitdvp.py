@@ -62,6 +62,29 @@ Pair = tuple[int, int]
 
 
 # --------------------------------------------------------------- helpers
+def _trim_dead_bonds(cores):
+    """Drop bond channels that are EXACTLY zero on either side (the padded
+    channels of the uniform-D stacked sweep; the gauge kernels keep dead
+    channels exactly zero, so this is lossless)."""
+    out = [np.asarray(c).copy() for c in cores]
+    for b in range(len(out) - 1):
+        l, r = out[b], out[b + 1]
+        live = (np.abs(l).sum(axis=(0, 1)) > 0) & (
+            np.abs(r).sum(axis=(1, 2)) > 0
+        )
+        if not live.any():
+            live[0] = True
+        out[b] = l[:, :, live]
+        out[b + 1] = r[live]
+    liveL = np.abs(out[0]).sum(axis=(1, 2)) > 0
+    liveL[0] = True
+    out[0] = out[0][liveL]
+    liveR = np.abs(out[-1]).sum(axis=(0, 1)) > 0
+    liveR[0] = True
+    out[-1] = out[-1][:, :, liveR]
+    return out
+
+
 def _norm_log(x):
     """(x/‖x‖, log‖x‖) — Frobenius-normalised with the scale as a log."""
     n = jnp.linalg.norm(x).real
@@ -156,6 +179,8 @@ class SPMDPITDVP:
         states = [list(cores)] if self._flat_input else [
             list(st) for st in cores
         ]
+        #: the user-level Hamiltonian (pre state-to-site conversion)
+        self._orig_ham = hamiltonian
         #: multi-state superblocks are converted to ONE MPS with an
         #: electronic site — per-state boundary gauges are numerically
         #: unstable under chain splitting (see operators/state_to_site.py;
@@ -189,6 +214,11 @@ class SPMDPITDVP:
         if nsite % self.P != 0:
             raise ValueError("nsite must divide evenly into segments")
         self.m = nsite // self.P
+        if self.m < 2:
+            raise ValueError(
+                "chain-parallel segments need >= 2 sites each "
+                f"(got {nsite} sites over {self.P} devices)"
+            )
         self.nsite = nsite
         self.config = config
         self.dtype = jnp.dtype(config.dtype)
@@ -232,7 +262,14 @@ class SPMDPITDVP:
                 lo, hi = s * self.m, (s + 1) * self.m - 1
                 for p in range(lo, hi):
                     l, n, r = stacked[p].shape
-                    q, rmat = np.linalg.qr(stacked[p].reshape(l * n, r))
+                    mat = stacked[p].reshape(l * n, r)
+                    q, rmat = np.linalg.qr(mat)
+                    # dead-channel invariant: zero-pad columns must stay
+                    # EXACTLY zero (LAPACK fills them with completions;
+                    # see kernels._thin_qr) — trailing, so exact
+                    live = (np.abs(mat).sum(axis=0) > 0)[: q.shape[1]]
+                    q = q * live[None, :]
+                    rmat = rmat * live[:, None]
                     a = np.zeros_like(stacked[p])
                     a[:, :, : q.shape[1]] = q.reshape(l, n, -1)
                     stacked[p] = a
@@ -258,7 +295,15 @@ class SPMDPITDVP:
         self._obs_cache: dict = {}
 
     # -------------------------------------------------------------- step
-    def propagate(self, dt: float) -> None:
+    def propagate(
+        self, dt: float, one_gate_to_apply=None, kraus_op=None
+    ) -> None:
+        if one_gate_to_apply is not None or kraus_op is not None:
+            raise NotImplementedError(
+                "gate/Kraus application is not supported under the "
+                "chain-parallel sweep; run serial (no "
+                "parallel_split_indices) for open-system channels"
+            )
         scale = jnp.asarray(-0.5j * dt, self.dtype)
         first = self.nstep == 0
         fn = self._compiled(first)
@@ -339,12 +384,14 @@ class SPMDPITDVP:
             for p, c in enumerate(chain):
                 d = dims[p] if p < body else 1
                 trimmed.append(c[:, :d, :])
-            return chain_to_states(
+            states = chain_to_states(
                 trimmed,
                 self._conv["nstate"],
                 pad_sites=npads,
                 phys_dims=None,
             )
+            return [_trim_dead_bonds(st) for st in states]
+        out_states = [_trim_dead_bonds(st) for st in out_states]
         return out_states[0] if self._flat_input else out_states
 
     def _obs_fn(self, kind: str, **kw):
@@ -395,13 +442,45 @@ class SPMDPITDVP:
         )
         return complex(v[istate])
 
-    def expectation(self) -> float:
-        """⟨H⟩/‖Ψ‖² with sites sharded over the chain axis."""
+    def expectation(self, operator=None) -> float:
+        """⟨H⟩/‖Ψ‖² with sites sharded over the chain axis; arbitrary
+        operators fall back to a gathered serial contraction."""
+        if operator is not None and operator is not self._orig_ham:
+            return self._gather_engine().expectation(operator)
         fn = self._obs_fn("expectation")
         re, im, n2 = fn(self.cores, self.W, self.sig)
         val = float(np.asarray(jax.device_get(re)).sum())
         den = float(np.asarray(jax.device_get(n2)).sum())
         return val / den
+
+    def to_numpy(self):
+        """Checkpoint payload (user-level per-state core lists)."""
+        return self.to_serial_cores()
+
+    def _gather_engine(self):
+        """Serial engine on the gathered state (observable fallback)."""
+        from pytdscf_tpu.mps.tdvp import TDVPEngine
+
+        out = self.to_serial_cores()
+        states = [out] if self._flat_input else out
+        eng = TDVPEngine(
+            [list(st) for st in states], self._orig_ham, self.config
+        )
+        eng.right_canonicalize()
+        return eng
+
+    def bond_dims(self, istate: int = 0) -> list[int]:
+        """Padded bond capacity per bond (the SPMD sweep is fixed-D)."""
+        nsite = (
+            len(self._conv["phys_dims"]) if self._conv is not None
+            else self.nsite
+        )
+        return [self.D] * (nsite - 1)
+
+    def reduced_density(self, remain_nleg, istate: int = 0) -> np.ndarray:
+        if self.config.space == "liouville":
+            return self.reduced_density_liouville(remain_nleg, istate)
+        return self._gather_engine().reduced_density(remain_nleg, istate)
 
     def reduced_density_liouville(
         self, remain_nleg: tuple[int, ...], istate: int = 0
@@ -642,17 +721,44 @@ def _build_step(
         ``cL``/``cR``/``sig``: per-state tuples; ``Lb2``/``Rb2``: per-pair
         env tuples through everything left of pL / right of pR."""
         psiL, bRs = [], []
-        sig_anchor = _sig_anchor(sig)
+        # First-order-exact W expansion (pitdvp._merge_W): the raw
+        # ψ_L σ⁺ ψ_R contraction PROJECTS onto σ's live channels, killing
+        # the first-order amplitude that grew into σ-kernel channels
+        # during the previous phase — measured as an exactly-halved
+        # through-boundary transfer rate.  The expansion keeps dZ + dY
+        # linearly; the pinv only touches the second-order cross term.
+        from pytdscf_tpu.parallel.pitdvp import (
+            _align_left,
+            _align_right,
+            _merge_W,
+        )
+
+        glob = jnp.asarray(0.0, jnp.float32)
         for i in range(nstate):
-            sp = _pinv(sig[i], epsrho, anchor=sig_anchor)
-            # ORDER MATTERS: (σ⁺·σ_R) first — scales cancel exactly
-            # (σ⁺σ = P), so the product stays O(1) even for a state at
-            # noise amplitude; ψ_L·σ⁺ alone would amplify ψ_L's roundoff
-            # floor by 1/σ_noise (see pitdvp._joint_update).
-            sgR, bR = K.lq_left(cR[i])
-            x = jnp.einsum("km,mr->kr", sp, sgR, precision=PREC)
-            psiL.append(jnp.einsum("lnk,km->lnm", cL[i], x, precision=PREC))
-            bRs.append(bR)
+            glob = jnp.maximum(
+                glob, jnp.max(jnp.diagonal(sig[i]).real).astype(jnp.float32)
+            )
+        for i in range(nstate):
+            # σ's live channels define the boundary's physical content:
+            # dead channels of the fixed-shape padded cores can carry
+            # LAPACK-QR completion junk (the CPU backend does not keep
+            # dead channels exactly zero the way the MGS/CholeskyQR TPU
+            # kernels do), and the collapse/env insertions annihilate
+            # them anyway — mask them out of the merge.
+            lv = (jnp.abs(jnp.diagonal(sig[i])) > 0).astype(cL[i].dtype)
+            A, Z = K.qr_right(cL[i] * lv[None, None, :])
+            Y, B = K.lq_left(cR[i] * lv[:, None, None])
+            A = A * lv[None, None, :]
+            Z = Z * lv[:, None] * lv[None, :]
+            Y = Y * lv[:, None] * lv[None, :]
+            B = B * lv[:, None, None]
+            A, Z = _align_left(A, Z)
+            Y, B = _align_right(Y, B)
+            Wm = _merge_W(Z, Y, sig[i], glob, epsrho)
+            psiL.append(
+                jnp.einsum("lnk,km->lnm", A, Wm, precision=PREC)
+            )
+            bRs.append(B)
         RbL, dlr = renorm_all(Rb2, lR2, tuple(bRs), WR, tuple(bRs), False)
         ls = tuple(a + b for a, b in zip(lL2, dlr))
         psiL = evolve_sites(Lb2, WL, RbL, tuple(psiL), scale, ls)

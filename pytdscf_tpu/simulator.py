@@ -161,6 +161,7 @@ class Simulator:
             energy_per_step=energy_per_step,
             norm_per_step=norm_per_step,
             populations_per_step=populations_per_step,
+            parallel_split_indices=parallel_split_indices,
         )
 
     def relax(
@@ -226,8 +227,58 @@ class Simulator:
         return norm, wf
 
     # ------------------------------------------------------------------
+    def _parallel_engine(
+        self, config: Config, cores, split_indices
+    ):
+        """Chain-parallel engine for ``parallel_split_indices`` (the
+        reference's MPI runtype wiring, ``simulator_cls.py:181,364-370``).
+
+        Splits must tile the chain contiguously with equal segment
+        lengths and an even segment count (the alternating two-phase
+        sweep choreography requires it); anything else raises — a
+        parallelism request is never silently ignored."""
+        import jax as _jax
+
+        ndof = self.model.get_ndof()
+        P = len(split_indices)
+        lengths = []
+        expect_start = 0
+        for lo, hi in split_indices:
+            if lo != expect_start or hi < lo:
+                raise ValueError(
+                    f"parallel_split_indices must tile sites 0..{ndof - 1} "
+                    f"contiguously; got {split_indices}"
+                )
+            lengths.append(hi - lo + 1)
+            expect_start = hi + 1
+        if expect_start != ndof:
+            raise ValueError(
+                f"parallel_split_indices cover sites 0..{expect_start - 1} "
+                f"but the chain has {ndof} sites"
+            )
+        if P < 2 or P % 2 != 0 or len(set(lengths)) != 1:
+            raise NotImplementedError(
+                "the chain-parallel sweep needs an EVEN number of "
+                f"equal-length segments; got {P} segments of lengths "
+                f"{lengths}. Adjust parallel_split_indices."
+            )
+        ham = self.model.hamiltonian
+        if len(_jax.devices()) >= P:
+            from pytdscf_tpu.parallel.mesh import make_mesh
+            from pytdscf_tpu.parallel.spmd_pitdvp import SPMDPITDVP
+
+            mesh = make_mesh({"chain": P})
+            return SPMDPITDVP(cores, ham, config, mesh)
+        from pytdscf_tpu.parallel.pitdvp import PITDVP
+
+        return PITDVP(cores, ham, config, P)
+
     def _initial_engine(
-        self, config: Config, restart: bool, loadfile_ext: str
+        self,
+        config: Config,
+        restart: bool,
+        loadfile_ext: str,
+        parallel_split_indices=None,
     ):
         def _restart_payload():
             path = resolve_checkpoint(f"wf_{self.jobname}{loadfile_ext}.pkl")
@@ -238,6 +289,14 @@ class Simulator:
                 )
             return load_wavefunction(path)
 
+        if parallel_split_indices is not None and (
+            self.ci_type != "mps"
+            or not self.model.basinfo.is_standard_method
+        ):
+            raise NotImplementedError(
+                "parallel_split_indices requires the standard-method MPS "
+                "ansatz (ci_type='mps')"
+            )
         if self.ci_type == "mctdh":
             from pytdscf_tpu.mctdh import MCTDHEngine
 
@@ -258,6 +317,10 @@ class Simulator:
             cores = _restart_payload()["cores"]
         else:
             cores = self._alloc_initial_cores()
+        if parallel_split_indices is not None:
+            return self._parallel_engine(
+                config, cores, parallel_split_indices
+            )
         return TDVPEngine(cores, self.model.hamiltonian, config)
 
     def _alloc_initial_cores(self) -> list[list[np.ndarray]]:
@@ -368,8 +431,23 @@ class Simulator:
         energy_per_step: int = 1,
         norm_per_step: int = 1,
         populations_per_step: int = 1,
+        parallel_split_indices=None,
     ) -> tuple[Any, WaveFunction]:
         import os as _os
+
+        if parallel_split_indices is not None and not self.t2_trick:
+            raise NotImplementedError(
+                "explicit-bra autocorrelation (t2_trick=False) is not "
+                "supported with parallel_split_indices; use the T/2 trick"
+            )
+        if (
+            parallel_split_indices is not None
+            and self.model.build_td_hamiltonian is not None
+        ):
+            raise NotImplementedError(
+                "time-dependent Hamiltonians are not supported with "
+                "parallel_split_indices"
+            )
 
         if (
             _os.environ.get("PYTDSCF_TPU_SELFCHECK")
@@ -386,7 +464,10 @@ class Simulator:
         from pytdscf_tpu.diagnostics import Diagnostics
 
         diag = Diagnostics()
-        engine = self._initial_engine(config, restart, loadfile_ext)
+        engine = self._initial_engine(
+            config, restart, loadfile_ext,
+            parallel_split_indices=parallel_split_indices,
+        )
         # Explicit-autocorr bra: persist the t=0 state once so restarted
         # runs keep computing ⟨Ψ(0)|Ψ(t)⟩ against the TRUE initial state
         # (reference continues autocorr.dat seamlessly across restarts).
