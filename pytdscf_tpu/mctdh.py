@@ -211,6 +211,39 @@ def ci_density(ci, idof: int) -> jnp.ndarray:
     return jnp.tensordot(ci.conj(), ci, axes=(axes, axes))
 
 
+def rotate_rdm_to_primitive(rho, phis, nlegs):
+    """SPF-basis RDM (site-major leg pairs, ket before bra) → primitive.
+
+    ``phis[t]``: the kept DOF's SPF matrix (nspf, nprim); ``nlegs[t]`` ∈
+    {1, 2} — 1 extracts the diagonal after rotation (grid populations)."""
+    rho = np.asarray(rho)
+    ax = 0
+    for phi in phis:
+        phi = np.asarray(phi)
+        # ket leg: Σ_s phi[s, p] ρ[.., s(ket), ..]
+        rho = np.moveaxis(
+            np.tensordot(phi.T, np.moveaxis(rho, ax, 0), axes=(1, 0)),
+            0, ax,
+        )
+        # bra leg: Σ_s ρ[.., s(bra), ..] phi*[s, p]
+        rho = np.moveaxis(
+            np.tensordot(
+                np.moveaxis(rho, ax + 1, 0), phi.conj(), axes=(0, 0)
+            ),
+            -1, ax + 1,
+        )
+        ax += 2
+    ax = 0
+    for nleg in nlegs:
+        if nleg == 1:
+            rho = np.diagonal(rho, axis1=ax, axis2=ax + 1)
+            rho = np.moveaxis(rho, -1, ax)
+            ax += 1
+        else:
+            ax += 2
+    return rho
+
+
 def ci_meanfield_ms(
     cis, ham: PolynomialHamiltonian, ints: SPFInts, idof: int, ndof: int
 ):
@@ -465,6 +498,13 @@ class MCTDHEngine:
     # ------------------------------------------------------------ VMF step
     def propagate(self, dt: float, one_gate_to_apply=None, kraus_op=None):
         """One VMF step: CI half-SIL, SPF RK45, CI half-SIL (Strang)."""
+        if one_gate_to_apply is not None or kraus_op is not None:
+            # the reference routes gates/Kraus only through its MPS paths
+            # (``wavefunction.py:398-406``); never silently ignore them
+            raise NotImplementedError(
+                "gates/Kraus are not supported for ci_type='mctdh'; use "
+                "the MPS or MPS-MCTDH hybrid ansatz"
+            )
         scale = (
             -0.5 * dt if self.config.relax == "imaginary" else -0.5j * dt
         )
@@ -602,14 +642,33 @@ class MCTDHEngine:
         return list(self.nspf[0])
 
     def reduced_density(self, remain_nleg, istate=0):
-        """ρ in the PRIMITIVE basis for kept DOFs (nleg=2 sites)."""
-        keep = [d for d, n in enumerate(remain_nleg) if n == 2]
-        if len(keep) != 1:
-            raise NotImplementedError("MCTDH RDM: one kept DOF")
-        d = keep[0]
-        rho_spf = ci_density(self.cis[istate], d).T
-        phi = self.spfs[istate].phis[d]
-        return np.asarray(phi.T @ rho_spf @ phi.conj())
+        """ρ in the PRIMITIVE basis over any set of kept DOFs.
+
+        ``remain_nleg[d]`` ∈ {0, 1, 2}: trace out / keep diagonal /
+        keep bra+ket — the MPS engine's convention (site-major legs, ket
+        before bra; reference general ``get_reduced_densities``,
+        ``/root/reference/pytdscf/_mps_cls.py:1628``)."""
+        keep = [d for d, n in enumerate(remain_nleg) if n > 0]
+        if not keep:
+            raise ValueError("no kept legs")
+        import string
+
+        ci = self.cis[istate]
+        nd = ci.ndim
+        L = string.ascii_lowercase
+        bra = list(L[:nd])
+        ket = list(L[:nd])
+        for t, d in enumerate(keep):
+            ket[d] = L[nd + t]
+        out_sub = "".join(ket[d] + bra[d] for d in keep)
+        rho = np.asarray(jnp.einsum(
+            f"{''.join(bra)},{''.join(ket)}->{out_sub}",
+            jnp.conj(ci), ci,
+        ))
+        phis = [np.asarray(self.spfs[istate].phis[d]) for d in keep]
+        return rotate_rdm_to_primitive(
+            rho, phis, [remain_nleg[d] for d in keep]
+        )
 
     def to_numpy(self):
         return {

@@ -93,3 +93,51 @@ def _vdot_reim(a, b):
 def vdot(a, b) -> complex:
     re, im = _vdot_reim(a, b)
     return float(np.asarray(re)) + 1j * float(np.asarray(im))
+
+
+@jax.jit
+def jvdot(a, b) -> jax.Array:
+    """⟨a|b⟩ as a DEVICE complex scalar (no host sync)."""
+    return jnp.vdot(a, b)
+
+
+@partial(jax.jit, static_argnames=("rd",))
+def _pack_tuple(xs, rd):
+    parts = []
+    for x in xs:
+        x1 = jnp.atleast_1d(x).reshape(-1)
+        if jnp.issubdtype(x1.dtype, jnp.complexfloating):
+            parts.append(jnp.real(x1).astype(rd))
+            parts.append(jnp.imag(x1).astype(rd))
+        else:
+            parts.append(x1.astype(rd))
+            parts.append(jnp.zeros_like(x1, rd))
+    return jnp.concatenate(parts)
+
+
+def fetch_many(xs, real_dtype) -> list:
+    """Fetch MANY device scalars/vectors with ONE host sync.
+
+    Every ``fetch`` costs a full device→host round trip (~30 ms through
+    the axon TPU tunnel); per-step property exports fetch several
+    scalars, so batching them into one packed real vector is the
+    difference between a dispatch-bound and a sync-bound driver loop.
+    Returns host complex values with each input's original shape
+    (scalars come back as ``complex``)."""
+    xs = list(xs)
+    if not xs:
+        return []
+    packed = _pack_tuple(tuple(xs), jnp.dtype(real_dtype))
+    host = np.asarray(packed)
+    out = []
+    k = 0
+    for x in xs:
+        shape = tuple(np.shape(x))
+        n = 1
+        for d in shape:
+            n *= d
+        re, im = host[k : k + n], host[k + n : k + 2 * n]
+        k += 2 * n
+        val = re + 1j * im
+        out.append(complex(val[0]) if shape == () else val.reshape(shape))
+    return out

@@ -132,25 +132,50 @@ def thin_qr(mat: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def _thin_qr(mat: jax.Array) -> tuple[jax.Array, jax.Array]:
     if jax.default_backend() == "cpu":
-        q, r = jnp.linalg.qr(mat)
-        # Dead-channel invariant (matches the CholeskyQR kernel): LAPACK
-        # fills the Q columns of exactly-zero input columns with basis
-        # completions ("junk").  Downstream fixed-shape code (the masked
-        # adaptive sweep, the padded SPMD chain) relies on dead channels
-        # staying EXACTLY zero — junk there leaks through environment
-        # cross-terms into σ-annihilated channels and silently loses
-        # amplitude.  Zero columns are TRAILING in every caller (bond
-        # padding; singular values sorted before masking), so R's dead
-        # rows are already zero (upper triangular) and masking is exact.
-        k = q.shape[1]
-        live = (jnp.sum(jnp.abs(mat), axis=0) > 0)[:k]
-        q = q * live[None, :].astype(q.dtype)
-        r = r * live[:, None].astype(r.dtype)
-        return q, r
+        return jnp.linalg.qr(mat)
     N, r = mat.shape
     if r >= CHOLESKY_QR_MIN_R and N >= r:
         return _cholesky_qr(mat)
     return _mgs_qr(mat)
+
+
+def _thin_qr_deadsafe(mat: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Thin QR that keeps exactly-zero input columns EXACTLY zero in Q.
+
+    LAPACK (and the MGS fallback) fill dead columns with orthonormal
+    basis completions.  In the SERIAL fixed-D sweep those completions are
+    load-bearing — they define the frame through which 1-site TDVP grows
+    amplitude into padded bond channels.  The fixed-shape SPMD chain
+    however stores masked boundary σ whose zero channels must match
+    exactly-zero core channels; completions there leak amplitude into
+    σ-annihilated channels (measured as an exactly-halved through-
+    boundary transfer rate).  Dead columns are TRAILING in every SPMD
+    call site (bond padding; sorted-SVD masks), so R's dead rows are
+    zero and the masking is exact.  CholeskyQR is already dead-safe.
+    """
+    q, r = _thin_qr(mat)
+    k = q.shape[1]
+    live = (jnp.sum(jnp.abs(mat), axis=0) > 0)[:k]
+    return (
+        q * live[None, :].astype(q.dtype),
+        r * live[:, None].astype(r.dtype),
+    )
+
+
+@jax.jit
+def qr_right_deadsafe(psi: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """`qr_right` preserving exactly-zero right-bond channels (SPMD)."""
+    l, n, r = psi.shape
+    q, rmat = _thin_qr_deadsafe(psi.reshape(l * n, r))
+    return q.reshape(l, n, -1), rmat
+
+
+@jax.jit
+def lq_left_deadsafe(psi: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """`lq_left` preserving exactly-zero left-bond channels (SPMD)."""
+    l, n, r = psi.shape
+    q, rmat = _thin_qr_deadsafe(psi.transpose(2, 1, 0).reshape(r * n, l))
+    return rmat.T, q.reshape(r, n, -1).transpose(2, 1, 0)
 
 
 @jax.jit

@@ -275,16 +275,83 @@ class MPSMCTDHEngine:
         return {"rho": rho, "terms": terms}
 
     # ------------------------------------------------------------------
+    def _project_gate(self, gate):
+        """One-site gate cores → the current SPF site bases.
+
+        Primitive-dimension cores are PROJECTED with that state's SPF
+        matrices (U_spf = φ U φ† — exact when the gate preserves the SPF
+        span); cores already in the site (SPF) dimension pass through
+        (the reference applies user gates directly on its nonstandard-
+        method site bases, ``wavefunction.py:398-406``)."""
+
+        class _SiteGate:
+            pass
+
+        out = _SiteGate()
+        out.nstate = gate.nstate
+        out.coupleJ = gate.coupleJ
+        out.terms = []
+        for i in range(gate.nstate):
+            spfs = self.spfs[min(i, len(self.spfs) - 1)]
+            row_terms = []
+            for term in gate.terms[i][i]:
+                ((site, core),) = term.items()
+                c = np.asarray(core)
+                U = np.diag(c[0, :, 0]) if c.ndim == 3 else c[0, :, :, 0]
+                phi = np.asarray(spfs.phis[site])
+                nspf, nprim = phi.shape
+                if U.shape[0] == nspf:
+                    U2 = U
+                elif U.shape[0] == nprim:
+                    # c' = φ*·U·φᵀ·c  (state_prim = φᵀ c; projection φ*)
+                    U2 = phi.conj() @ U @ phi.T
+                else:
+                    raise ValueError(
+                        f"gate on site {site}: dim {U.shape[0]} matches "
+                        f"neither nprim {nprim} nor nspf {nspf}"
+                    )
+                row_terms.append({site: U2[None, :, :, None]})
+            # apply_one_gate reads terms[i][i] / coupleJ[i][i] only
+            out.terms.append({i: row_terms})
+        return out
+
+    def _project_kraus(self, kraus_op):
+        """Kraus tensors → the current SPF site bases (state-0 φ)."""
+        spfs = self.spfs[0]
+        out = {}
+        for sites, B in kraus_op.items():
+            B = np.asarray(B)
+            phis = [np.asarray(spfs.phis[s]) for s in sites]
+            dprim = int(np.prod([p.shape[1] for p in phis]))
+            dspf = int(np.prod([p.shape[0] for p in phis]))
+            if B.shape[-1] == dspf:
+                out[sites] = B
+            elif B.shape[-1] == dprim:
+                T = phis[0]
+                for p in phis[1:]:
+                    T = np.kron(T, p)
+                out[sites] = np.einsum(
+                    "tq,kqp,sp->kts", T.conj(), B, T, optimize=True
+                )
+            else:
+                raise ValueError(
+                    f"Kraus on sites {sites}: dim {B.shape[-1]} matches "
+                    f"neither primitive {dprim} nor SPF {dspf}"
+                )
+        return out
+
     def propagate(self, dt: float, one_gate_to_apply=None, kraus_op=None):
         """Strang split: MPS(dt/2) → SPF(dt, frozen mean fields) → MPS(dt/2).
 
         Mirrors the reference's VMF ordering for non-standard method
         (``wavefunction.propagate_SM`` recomputing SPFInts each step)."""
-        if one_gate_to_apply is not None or kraus_op is not None:
-            raise NotImplementedError(
-                "gates/Kraus on the hybrid SPF layer"
-            )
         self.tdvp.propagate(dt / 2)
+        # open-system channels at MID-step — the serial engine applies
+        # them between its half-sweeps (``mps/tdvp.py:propagate``)
+        if one_gate_to_apply is not None:
+            self.tdvp.apply_one_gate(self._project_gate(one_gate_to_apply))
+        if kraus_op is not None:
+            self.tdvp.apply_kraus(self._project_kraus(kraus_op))
         mfop = self._mfop(self._cores_np())
         self.spfs = propagate_spfs(
             self.model.basinfo, self.nstate, self.ndof, self.epsrho,
@@ -329,17 +396,26 @@ class MPSMCTDHEngine:
         return self.tdvp.bond_dims()
 
     def reduced_density(self, remain_nleg, istate: int = 0) -> np.ndarray:
-        """ρ in the PRIMITIVE basis for one kept DOF (nleg = 2)."""
-        keep = [d for d, n in enumerate(remain_nleg) if n == 2]
-        if len(keep) != 1:
-            raise NotImplementedError("hybrid RDM: one kept DOF")
-        d = keep[0]
-        cores_np = self._cores_np()
-        W = hole_weights(
-            cores_np[istate], cores_np[istate], [None] * self.ndof
-        )[d]
-        phi = np.asarray(self.spfs[istate].phis[d])
-        return phi.T @ W.T @ phi.conj()
+        """ρ in the PRIMITIVE basis over any set of kept DOFs.
+
+        The SPF-basis RDM comes from the internal MPS engine (site-major
+        leg pairs) and each kept leg pair is rotated by that DOF's SPF
+        matrix (reference general ``get_reduced_densities``,
+        ``/root/reference/pytdscf/_mps_cls.py:1628``)."""
+        from pytdscf_tpu.mctdh import rotate_rdm_to_primitive
+
+        keep = [d for d, n in enumerate(remain_nleg) if n > 0]
+        if not keep:
+            raise ValueError("no kept legs")
+        # the MPS engine expects the tuple to END at the last kept site
+        legs2 = tuple(
+            2 if remain_nleg[d] > 0 else 0 for d in range(keep[-1] + 1)
+        )
+        rho_spf = self.tdvp.reduced_density(legs2, istate)
+        phis = [np.asarray(self.spfs[istate].phis[d]) for d in keep]
+        return rotate_rdm_to_primitive(
+            rho_spf, phis, [remain_nleg[d] for d in keep]
+        )
 
     def to_numpy(self):
         return {

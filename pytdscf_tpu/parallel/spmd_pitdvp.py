@@ -227,9 +227,16 @@ class SPMDPITDVP:
         if len(phys) != 1:
             raise ValueError("SPMD sweep needs a uniform physical dim")
         self.n = phys.pop()
+        if config.adaptive:
+            # adaptive runs carry the live rank as a zero-mask inside a
+            # fixed buffer capped at adaptive_Dmax (the masked-a1TDVP
+            # convention, Config.adaptive_masked)
+            self._dmax_cap = int(config.adaptive_Dmax)
         self.D = max(
             max(c.shape[0], c.shape[2]) for st in states for c in st
         )
+        if config.adaptive:
+            self.D = max(self.D, self._dmax_cap)
         fused = hamiltonian.fused_mpo([self.n] * nsite)
         self.pairs: tuple[Pair, ...] = tuple(
             (i, j)
@@ -330,6 +337,9 @@ class SPMDPITDVP:
             epsrho=self.config.epsrho,
             p_svd=max(self.config.adaptive_p_svd, 100.0 * self.config.epsrho),
             recenter_odd_first=first,
+            adaptive=self.config.adaptive,
+            dD=self.config.adaptive_dD,
+            p_proj=self.config.adaptive_p_proj,
         )
         if first:
             self._step_first = fn
@@ -470,7 +480,12 @@ class SPMDPITDVP:
         return eng
 
     def bond_dims(self, istate: int = 0) -> list[int]:
-        """Padded bond capacity per bond (the SPMD sweep is fixed-D)."""
+        """Bond dims: live ranks under adaptive (via a gather — the
+        zero-mask rank lives in the data), else the padded capacity."""
+        if self.config.adaptive:
+            out = self.to_serial_cores()
+            states = [out] if self._flat_input else out
+            return [int(c.shape[2]) for c in states[istate][:-1]]
         nsite = (
             len(self._conv["phys_dims"]) if self._conv is not None
             else self.nsite
@@ -538,7 +553,7 @@ class SPMDPITDVP:
 # ------------------------------------------------------------ the program
 def _build_step(
     *, mesh, axis, Pn, m, D, n, pairs, nstate, thresh, max_dim, arnoldi,
-    epsrho, p_svd, recenter_odd_first,
+    epsrho, p_svd, recenter_odd_first, adaptive=False, dD=0, p_proj=0.0,
 ):
     """Compile one full PITDVP time step as a single shard_map program."""
 
@@ -676,14 +691,33 @@ def _build_step(
                 for i in range(nstate):
                     cores[i][p] = jnp.where(do_last, new[i], cores[i][p])
                 break
+            if adaptive:
+                # masked a1TDVP inside the segment: fixed-shape rank
+                # enrichment + masked truncation (the serial engine's
+                # Config.adaptive_masked flavor — mps/tdvp.py:346 — is
+                # SPMD-ready by construction: no host syncs, no retraces)
+                from pytdscf_tpu.mps.tdvp import _adaptive_masked_site
+
+                nxt = p + 1 if forward else p - 1
+                a_sites, psi_next, sysB, sysl, _kry = _adaptive_masked_site(
+                    psis(p), psis(nxt), sysB, sysl, envB, envl, Wp(p),
+                    scale, jnp.asarray(thresh), jnp.asarray(p_proj),
+                    jnp.asarray(p_svd), pairs=pairs, nstate=nstate,
+                    mode="prop", conserve_norm=False, arnoldi=arnoldi,
+                    max_dim=max_dim, forward=forward, dD=dD,
+                )
+                for i in range(nstate):
+                    cores[i][p] = a_sites[i]
+                    cores[i][nxt] = psi_next[i]
+                continue
             new = evolve_sites(Ls, Wp(p), Rs, psis(p), scale, lsum)
             sigs = []
             for i in range(nstate):
                 if forward:
-                    a, sg = K.qr_right(new[i])
+                    a, sg = K.qr_right_deadsafe(new[i])
                     cores[i][p] = a
                 else:
-                    sg, bc = K.lq_left(new[i])
+                    sg, bc = K.lq_left_deadsafe(new[i])
                     cores[i][p] = bc
                 sigs.append(sg)
             sysB, sysl = renorm_all(
@@ -746,8 +780,8 @@ def _build_step(
             # kernels do), and the collapse/env insertions annihilate
             # them anyway — mask them out of the merge.
             lv = (jnp.abs(jnp.diagonal(sig[i])) > 0).astype(cL[i].dtype)
-            A, Z = K.qr_right(cL[i] * lv[None, None, :])
-            Y, B = K.lq_left(cR[i] * lv[:, None, None])
+            A, Z = K.qr_right_deadsafe(cL[i] * lv[None, None, :])
+            Y, B = K.lq_left_deadsafe(cR[i] * lv[:, None, None])
             A = A * lv[None, None, :]
             Z = Z * lv[:, None] * lv[None, :]
             Y = Y * lv[:, None] * lv[None, :]
@@ -764,7 +798,7 @@ def _build_step(
         psiL = evolve_sites(Lb2, WL, RbL, tuple(psiL), scale, ls)
         aLs, sigs = [], []
         for i in range(nstate):
-            a, sg = K.qr_right(psiL[i])
+            a, sg = K.qr_right_deadsafe(psiL[i])
             aLs.append(a)
             sigs.append(sg)
         LbB, dll = renorm_all(Lb2, lL2, tuple(aLs), WL, tuple(aLs), True)
@@ -777,7 +811,7 @@ def _build_step(
         psiR = evolve_sites(LbB, WR, Rb2, psiR, scale, ls2)
         sg2s, bcs = [], []
         for i in range(nstate):
-            sg2, bc = K.lq_left(psiR[i])
+            sg2, bc = K.lq_left_deadsafe(psiR[i])
             sg2s.append(sg2)
             bcs.append(bc)
         RbN, dlr2 = renorm_all(Rb2, lR2, tuple(bcs), WR, tuple(bcs), False)

@@ -167,7 +167,33 @@ class Properties:
         populations_per_step=1,
         observables_per_step=1,
     ) -> None:
-        if autocorr and self.nstep % autocorr_per_step == 0:
+        want_ac = autocorr and self.nstep % autocorr_per_step == 0
+        want_e = energy and self.nstep % energy_per_step == 0
+        want_n = norm and self.nstep % norm_per_step == 0
+        want_p = populations and self.nstep % populations_per_step == 0
+        bundled = False
+        if (
+            hasattr(self.engine, "properties_bundle")
+            and (not want_ac or self.t2_trick)
+            and (want_ac or want_e or want_n or want_p)
+        ):
+            # single-sync batched fetch (one ~30 ms tunnel round trip
+            # instead of one per property)
+            out = self.engine.properties_bundle(
+                self.model.hamiltonian,
+                autocorr=want_ac, energy=want_e,
+                norm=want_n, populations=want_p,
+            )
+            if want_ac:
+                self.autocorr = out["autocorr"]
+            if want_e:
+                self.energy = out["energy"].real
+            if want_n:
+                self.norm = out["norm"]
+            if want_p:
+                self.pops = out["populations"]
+            bundled = True
+        if want_ac and not bundled:
             if self.t2_trick:
                 self.autocorr = self.engine.autocorr()
             elif self._initial_cores is not None and hasattr(
@@ -183,10 +209,11 @@ class Properties:
                     self.engine.cores = save
             else:
                 self.autocorr = None
-        if energy and self.nstep % energy_per_step == 0:
+        if want_e and not bundled:
             self.energy = self.engine.expectation(self.model.hamiltonian).real
-        if norm and self.nstep % norm_per_step == 0:
-            self.norm = self.engine.norm()
+        if want_n:
+            if not bundled:
+                self.norm = self.engine.norm()
             if (
                 self.config.conserve_norm
                 and self.config.space == "hilbert"
@@ -199,7 +226,7 @@ class Properties:
                     "properties.py:366-373)"
                 )
                 self._norm_warned = True
-        if populations and self.nstep % populations_per_step == 0:
+        if want_p and not bundled:
             self.pops = self.engine.pop_states()
         if observables and self.nstep % observables_per_step == 0:
             for name, op in self.model.observables.items():

@@ -121,10 +121,21 @@ class Simulator:
         cmf: bool = False,
         tol_cmf: float = 1.0e-14,
         max_stepsize: float = 0.010,
+        dtype: str | None = None,
     ) -> tuple[Any, WaveFunction]:
         dt_au = (Δt if Δt is not None else stepsize) / units.au_in_fs
+        dtype_eff = dtype or self._auto_dtype()
+        if dtype_eff == "complex64" and thresh_sil < 1.0e-07:
+            # f32 cannot resolve the default 1e-9 Krylov convergence test;
+            # leaving it saturates every local update at max_krylov
+            thresh_sil = 1.0e-07
         config = Config(
             jobname=self.jobname + "_prop",
+            dtype=dtype_eff,
+            # scan-compiled bulk sites amortise dispatch + compile on
+            # accelerators (identical math; large-χ steps are compute-
+            # bound either way)
+            scan_sweep=dtype_eff == "complex64",
             relax="none",
             integrator=integrator,
             thresh_exp=thresh_sil,
@@ -183,6 +194,7 @@ class Simulator:
         dt_au = stepsize / units.au_in_fs
         config = Config(
             jobname=self.jobname + "_relax",
+            dtype=self._auto_dtype(),
             relax="improved" if improved else "imaginary",
             integrator=integrator,
             matvec_precision=matvec_precision,
@@ -214,6 +226,7 @@ class Simulator:
     ) -> tuple[float, WaveFunction]:
         config = Config(
             jobname=self.jobname + "_operate",
+            dtype=self._auto_dtype(),
             apply_dipole=True,
             space=self.model.space,
         )
@@ -227,6 +240,18 @@ class Simulator:
         return norm, wf
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _auto_dtype() -> str:
+        """complex128 on CPU, complex64 on accelerators (this TPU rejects
+        C128 outright; complex64 works only inside jitted programs — see
+        ``mps/device_io``)."""
+        import jax as _jax
+
+        return (
+            "complex128" if _jax.default_backend() == "cpu"
+            else "complex64"
+        )
+
     def _parallel_engine(
         self, config: Config, cores, split_indices
     ):
@@ -269,6 +294,12 @@ class Simulator:
 
             mesh = make_mesh({"chain": P})
             return SPMDPITDVP(cores, ham, config, mesh)
+        if config.adaptive:
+            raise NotImplementedError(
+                "adaptive bond dimension under parallel_split_indices "
+                "needs the SPMD engine (requires >= "
+                f"{P} devices; found {len(_jax.devices())})"
+            )
         from pytdscf_tpu.parallel.pitdvp import PITDVP
 
         return PITDVP(cores, ham, config, P)

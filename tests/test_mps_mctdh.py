@@ -73,6 +73,114 @@ def test_hybrid_contracted(tmp_path):
     np.testing.assert_allclose(auto, auto_full[: len(auto)], atol=2e-4)
 
 
+def test_hybrid_multidof_rdm_matches_mps(tmp_path):
+    """Hybrid RDMs over 1 AND 2 kept DOFs (primitive basis) match the
+    plain-MPS engine in the full-SPF limit; contracted-hybrid marginals
+    are consistent (Tr₂ ρ₁₂ = ρ₁)."""
+    os.chdir(tmp_path)
+    ham = read_potential_nMR(h2o_k_orig)
+
+    def engines():
+        m_p = Model(BasInfo(_prim_info()), {"hamiltonian": ham},
+                    bond_dim=8)
+        s_p = Simulator("rdm_mps", m_p, verbose=0)
+        bi = BasInfo(_prim_info(), [[NPRIM] * 3])
+        m_h = Model(bi, {"hamiltonian": ham}, bond_dim=8)
+        s_h = Simulator("rdm_hyb", m_h, verbose=0)
+        cfgs = []
+        for s in (s_p, s_h):
+            from pytdscf_tpu.config import Config
+
+            cfg = Config(jobname="x", thresh_exp=1e-10)
+            cfgs.append(s._initial_engine(cfg, False, ""))
+        return cfgs
+
+    eng_mps, eng_hyb = engines()
+    for _ in range(3):
+        eng_mps.propagate(DT / units.au_in_fs)
+        eng_hyb.propagate(DT / units.au_in_fs)
+    # single kept DOF
+    r1_mps = eng_mps.reduced_density((0, 2))
+    r1_hyb = eng_hyb.reduced_density((0, 2, 0))
+    np.testing.assert_allclose(r1_hyb, r1_mps, atol=1e-8)
+    # two kept DOFs
+    r12_mps = eng_mps.reduced_density((2, 2))
+    r12_hyb = eng_hyb.reduced_density((2, 2, 0))
+    np.testing.assert_allclose(r12_hyb, r12_mps, atol=1e-8)
+    # diagonal-only legs
+    g_mps = eng_mps.reduced_density((1, 1))
+    g_hyb = eng_hyb.reduced_density((1, 1, 0))
+    np.testing.assert_allclose(g_hyb, g_mps, atol=1e-8)
+    # marginal consistency on the 2-DOF density
+    np.testing.assert_allclose(
+        np.trace(r12_hyb, axis1=0, axis2=1),
+        eng_hyb.reduced_density((0, 2, 0)), atol=1e-9,
+    )
+
+
+def test_mctdh_multidof_rdm(tmp_path):
+    """MCTDH RDMs over 2 kept DOFs: marginals equal the 1-DOF RDMs and
+    the trace equals the state population."""
+    os.chdir(tmp_path)
+    from pytdscf_tpu.config import Config
+
+    ham = read_potential_nMR(h2o_k_orig)
+    basinfo = BasInfo(_prim_info(), [[4, 4, 4]])
+    model = Model(basinfo, {"hamiltonian": ham}, bond_dim=4)
+    sim = Simulator("mctdh_rdm", model, ci_type="mctdh", verbose=0)
+    eng = sim._initial_engine(Config(jobname="x"), False, "")
+    for _ in range(3):
+        eng.propagate(DT / units.au_in_fs)
+    r12 = eng.reduced_density((2, 2, 0))
+    r1 = eng.reduced_density((2, 0, 0))
+    r2 = eng.reduced_density((0, 2, 0))
+    np.testing.assert_allclose(
+        np.trace(r12, axis1=2, axis2=3), r1, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.trace(r12, axis1=0, axis2=1), r2, atol=1e-10
+    )
+    assert np.trace(r1) == pytest.approx(1.0, abs=1e-8)
+    # diagonal-only legs agree with the full density's diagonal
+    g12 = eng.reduced_density((1, 1, 0))
+    np.testing.assert_allclose(
+        g12, np.einsum("aabb->ab", r12), atol=1e-12
+    )
+
+
+def test_hybrid_gate_matches_mps(tmp_path):
+    """One-site gates project onto the SPF bases: full-SPF-limit hybrid
+    ≡ plain MPS with the same per-step gate (reference routes gates
+    through its nonstandard-method MPS path, ``wavefunction.py:398``)."""
+    os.chdir(tmp_path)
+    from pytdscf_tpu.operators.hamiltonian import TensorHamiltonian
+    from pytdscf_tpu.operators.tensor_op import TensorOperator
+
+    # diagonal phase gate on DOF 1 (primitive basis, unitary)
+    U = np.diag(np.exp(1j * 0.13 * np.arange(NPRIM)))
+    op_dict = {
+        ((1, 1),): TensorOperator(mpo=[U[None, :, :, None]], legs=(1, 1))
+    }
+    gate = TensorHamiltonian(3, potential=[[op_dict]], kinetic=None)
+    ham = read_potential_nMR(h2o_k_orig)
+
+    def run(jobname, basinfo):
+        model = Model(basinfo, {"hamiltonian": ham}, bond_dim=8,
+                      one_gate_to_apply=gate)
+        sim = Simulator(jobname, model, verbose=0)
+        e, wf = sim.propagate(maxstep=4, stepsize=DT)
+        return wf
+
+    wf_mps = run("gate_mps", BasInfo(_prim_info()))
+    wf_hyb = run("gate_hyb", BasInfo(_prim_info(), [[NPRIM] * 3]))
+    r_mps = wf_mps.engine.reduced_density((0, 2))
+    r_hyb = wf_hyb.engine.reduced_density((0, 2, 0))
+    # the hybrid's Strang split places the gate at a slightly different
+    # point in the step than the serial fwd|gate|bwd ordering → O(dt²)
+    np.testing.assert_allclose(r_hyb, r_mps, atol=5e-5)
+    assert wf_hyb.norm() == pytest.approx(wf_mps.norm(), abs=1e-9)
+
+
 def test_hybrid_tdh_split(tmp_path):
     """A dof with nspf=1 (the reference's TDH split) still conserves
     energy — the single SPF evolves by the mean-field TDH EOM."""

@@ -104,7 +104,7 @@ def test_spmd_mpdo_radical_pair_tracks_serial():
     assert pop_p[1] + pop_p[2] > 0.8
 
 
-def _exciton_model():
+def _exciton_model(J: float = 1.0e-03):
     """2-state Ambrosek dimer (4 sites, J-coupled electronic states)."""
     from pytdscf_tpu.basis import PrimBas_HO
     from pytdscf_tpu.model import BasInfo, Model
@@ -115,7 +115,7 @@ def _exciton_model():
     disps = [0.317, 0.429]
     s0 = [PrimBas_HO(0.0, f, 5) for f in freqs]
     s1 = [PrimBas_HO(d, f, 5) for f, d in zip(freqs, disps)]
-    prim, _, _, matJ = matJ_1D_exciton(2, 5, s0, s1, 1.0e-03)
+    prim, _, _, matJ = matJ_1D_exciton(2, 5, s0, s1, J)
     basinfo = BasInfo(prim)
     ham = PolynomialHamiltonian(basinfo.get_ndof(), basinfo.get_nstate())
     ham.coupleJ = matJ
@@ -164,6 +164,50 @@ def test_spmd_multistate_tracks_serial():
     assert sum(pop_par) == pytest.approx(1.0, abs=1e-3)
     # electronic populations transferred but not equalised
     assert pop_par[0] > 0.6
+
+
+def test_spmd_adaptive_tracks_serial_adaptive():
+    """Adaptive bond dimension under the SPMD chain-parallel sweep.
+
+    The analog of the reference's adaptive MPI propagation test
+    (``/root/reference/tests/test_mpi_exiciton_propagate.py:36-40``):
+    masked-a1TDVP rank enrichment inside segments + masked joint
+    truncation at boundaries, tracking the serial masked-adaptive
+    engine."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from pytdscf_tpu.simulator import Simulator
+
+    model = _exciton_model(J=5.0e-02)  # strong coupling → rank growth
+    sim = Simulator("spmd_ad", model, verbose=0)
+    cores = sim._alloc_initial_cores()
+    ham = model.hamiltonian
+    kwargs = dict(
+        jobname="x", thresh_exp=1e-10, conserve_norm=False,
+        adaptive=True, adaptive_Dmax=12, adaptive_dD=3,
+        adaptive_p_proj=1e-6, adaptive_p_svd=1e-8,
+    )
+    cfg_ser = Config(adaptive_masked=True, **kwargs)
+    cfg_par = Config(**kwargs)
+    dt = 0.2
+    nsteps = 3
+
+    serial = TDVPEngine([list(st) for st in cores], ham, cfg_ser)
+    for _ in range(nsteps):
+        serial.propagate(dt)
+    pop_serial = serial.pop_states()
+
+    mesh = make_mesh({"chain": 2})
+    par = SPMDPITDVP([list(st) for st in cores], ham, cfg_par, mesh)
+    assert par.D >= 12  # buffer grew to the adaptive cap
+    for _ in range(nsteps):
+        par.propagate(dt)
+    pop_par = par.pop_states()
+    np.testing.assert_allclose(pop_par, pop_serial, atol=5e-3)
+    assert sum(pop_par) == pytest.approx(1.0, abs=1e-3)
+    # live-rank accounting works and stays within the adaptive cap
+    dims = par.bond_dims()
+    assert 1 <= max(dims) <= 12, dims
 
 
 def test_spmd_inmesh_autocorr_matches_serial_overlap():
