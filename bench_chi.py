@@ -67,12 +67,16 @@ def main() -> None:
     from pytdscf_tpu.mps.lattice import alloc_hartree_product
     from pytdscf_tpu.mps.tdvp import TDVPEngine
 
+    # defaults = the tuned best-known configuration for the χ=1024 north
+    # star (BASELINE.md): split-electron layout, bf16x3 matvecs+env,
+    # Arnoldi buffer 7 (AVG depth ≈4.8; larger buffers only add
+    # Gram–Schmidt reads of the padded Krylov buffer)
     chi = int(os.environ.get("BENCH_CHI", "1024"))
     n_nuc = int(os.environ.get("BENCH_RP_NUC", "8"))
     steps = int(os.environ.get("BENCH_STEPS", "5"))
-    krylov = int(os.environ.get("BENCH_KRYLOV", "15"))
-    prec = os.environ.get("BENCH_PREC", "highest")
-    split = os.environ.get("BENCH_SPLIT", "0") != "0"
+    krylov = int(os.environ.get("BENCH_KRYLOV", "7"))
+    prec = os.environ.get("BENCH_PREC", "high")
+    split = os.environ.get("BENCH_SPLIT", "1") != "0"
 
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)

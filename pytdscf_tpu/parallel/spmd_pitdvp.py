@@ -495,6 +495,20 @@ class SPMDPITDVP:
     def reduced_density(self, remain_nleg, istate: int = 0) -> np.ndarray:
         if self.config.space == "liouville":
             return self.reduced_density_liouville(remain_nleg, istate)
+        kept = [p for p, n in enumerate(remain_nleg) if n > 0]
+        if len(kept) == 1 and self._conv is None:
+            # in-mesh single-site RDM (captured partial transfers)
+            fn = self._obs_fn(
+                "site_rdm", nkept=1, kept_sites=(kept[0],), istate=istate
+            )
+            re, im = fn(self.cores, self.sig)
+            rho = (
+                np.asarray(jax.device_get(re))
+                + 1j * np.asarray(jax.device_get(im))
+            )
+            if remain_nleg[kept[0]] == 1:
+                return np.real(np.diag(rho)).astype(rho.dtype)
+            return rho
         return self._gather_engine().reduced_density(remain_nleg, istate)
 
     def reduced_density_liouville(
@@ -1314,6 +1328,97 @@ def _build_observable(
         )
         return jax.jit(_shard_map(
             local, mesh=mesh, in_specs=spec_in, out_specs=(P(), P(), P()),
+            check_vma=False,
+        ))
+
+    if kind == "site_rdm":
+        # Hilbert-space one-site RDM ρ[n,n'] at global site ``kept_sites[0]``,
+        # in-mesh: captured LEFT/RIGHT partial double-layer transfers at the
+        # owning device (phase_envs capture convention) + one local einsum +
+        # psum.  No gather of the chain.
+        kept = kept_sites[0]
+        kd, kt = divmod(kept, m)
+
+        def local(cores, sigs):
+            idx = jax.lax.axis_index(axis)
+            sig_own = tuple(s[0] for s in sigs)
+            X = x_of(sig_own, idx, istate)
+            dtype = cores[istate].dtype
+            to_right = [(i_, (i_ + 1) % Pn) for i_ in range(Pn)]
+            to_left = [(i_, (i_ - 1) % Pn) for i_ in range(Pn)]
+            e = jnp.zeros((D, D), dtype).at[0, 0].set(1.0)
+            z = jnp.asarray(0.0, cores[istate].real.dtype)
+            ts = jnp.arange(m)
+
+            # ---- left chain with capture at (kd, kt)
+            S, lg = e, z
+            capL, clgL = e, z
+            for r in range(Pn):
+                S2 = jnp.einsum(
+                    "bk,bo,kp->op", S, X.conj(), X, precision=PREC
+                )
+                S2, dl = _norm_log(S2)
+                lg2 = lg + dl
+                cap_round = (idx == r) & (idx == kd)
+
+                def siteL(carry, cw):
+                    S_, l_, cS, cl = carry
+                    c, t = cw
+                    hit = cap_round & (t == kt)
+                    cS = jnp.where(hit, S_, cS)
+                    cl = jnp.where(hit, l_, cl)
+                    nS = K.ovlp_left_conj(S_, c, c)
+                    nS, d_ = _norm_log(nS)
+                    return (nS, l_ + d_, cS, cl), None
+
+                (S3, lg3, capL, clgL), _ = jax.lax.scan(
+                    siteL, (S2, lg2, capL, clgL), (cores[istate], ts)
+                )
+                S = jax.lax.ppermute(S3, axis, to_right)
+                lg = jax.lax.ppermute(lg3, axis, to_right)
+
+            # ---- right chain with capture at (kd, kt)
+            S, lg = e, z
+            capR, clgR = e, z
+            for r in range(Pn):
+                cap_round = (idx == (Pn - 1 - r)) & (idx == kd)
+
+                def siteR(carry, cw):
+                    S_, l_, cS, cl = carry
+                    c, t = cw
+                    hit = cap_round & (t == kt)
+                    cS = jnp.where(hit, S_, cS)
+                    cl = jnp.where(hit, l_, cl)
+                    nS = jnp.einsum(
+                        "bno,knp,op->bk", c.conj(), c, S_,
+                        precision=PREC,
+                    )
+                    nS, d_ = _norm_log(nS)
+                    return (nS, l_ + d_, cS, cl), None
+
+                (S2, lg2, capR, clgR), _ = jax.lax.scan(
+                    siteR, (S, lg, capR, clgR),
+                    (cores[istate][::-1], ts[::-1]),
+                )
+                ins = jnp.einsum(
+                    "bo,bk,pk->op", X.conj(), S2, X, precision=PREC
+                )
+                ins, dl = _norm_log(ins)
+                S = jax.lax.ppermute(ins, axis, to_left)
+                lg = jax.lax.ppermute(lg2 + dl, axis, to_left)
+
+            ck = cores[istate][kt]
+            rho = jnp.einsum(
+                "bk,bno,kmp,op->nm", capL, ck.conj(), ck, capR,
+                precision=PREC,
+            ) * jnp.exp(clgL + clgR).astype(dtype)
+            rho = jnp.where(idx == kd, rho, jnp.zeros_like(rho))
+            rho = jax.lax.psum(rho, axis)
+            return rho.real, rho.imag
+
+        spec_in = ((P(axis),) * nstate, (P(axis),) * nstate)
+        return jax.jit(_shard_map(
+            local, mesh=mesh, in_specs=spec_in, out_specs=(P(), P()),
             check_vma=False,
         ))
 
