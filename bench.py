@@ -92,20 +92,36 @@ def main() -> None:
     engine = TDVPEngine(cores, ham, config)
     dt_au = 0.2 / units.au_in_fs
 
-    t0 = time.time()
-    engine.propagate(dt_au)
-    engine.cores[0][0].block_until_ready()
-    log(f"bench: warmup step (compile) {time.time() - t0:.1f} s")
+    import jax.numpy as jnp
+
+    def sync() -> None:
+        # jax.block_until_ready does NOT wait for device completion
+        # through the axon TPU tunnel — force a VALUE fetch (real scalar:
+        # complex device→host transfers are rejected by this backend)
+        float(jnp.linalg.norm(engine.cores[0][0]).real)
 
     t0 = time.time()
-    for _ in range(steps):
-        engine.propagate(dt_au)
-    engine.cores[0][0].block_until_ready()
-    sec_per_step = (time.time() - t0) / steps
+    engine.propagate(dt_au)
+    sync()
+    log(f"bench: warmup step (compile) {time.time() - t0:.1f} s")
+
+    # median over blocks: single-pass timings on this VM scatter ~±30%
+    # (tunnel hiccups, host migration); the per-block median is stable
+    blocks = max(1, int(os.environ.get("BENCH_BLOCKS", "5")))
+    per_block = max(1, steps // blocks)
+    block_rates = []
+    for b in range(blocks):
+        t0 = time.time()
+        for _ in range(per_block):
+            engine.propagate(dt_au)
+        sync()
+        block_rates.append((time.time() - t0) / per_block)
+    sec_per_step = float(np.median(block_rates))
     avg_k, calls, capped = engine.krylov_stats()
-    log(f"bench: {sec_per_step:.3f} s/step over {steps} steps "
-        f"(energy={engine.expectation().real:.8f}, AVG Krylov {avg_k:.2f}, "
-        f"cap hits {capped}/{calls})")
+    log(f"bench: per-block s/step {[round(r, 4) for r in block_rates]}")
+    log(f"bench: {sec_per_step:.3f} s/step (median of {blocks} blocks × "
+        f"{per_block} steps; energy={engine.expectation().real:.8f}, "
+        f"AVG Krylov {avg_k:.2f}, cap hits {capped}/{calls})")
 
     print(json.dumps({
         "metric": "singlet_fission_184site_tdvp_sec_per_step",

@@ -135,6 +135,7 @@ def main() -> None:
         matvec_precision=prec,
         env_precision=os.environ.get("BENCH_EPREC", prec),
         scan_sweep=os.environ.get("BENCH_SCAN", "1") != "0",
+        krylov_relaxed=os.environ.get("BENCH_RELAX", "0") != "0",
     )
     engine = TDVPEngine([cores], model.hamiltonian, config)
     t0 = time.time()
@@ -147,7 +148,11 @@ def main() -> None:
     dt = 0.5  # model units (ns with the builder's 1e-9 scale)
     t0 = time.time()
     engine.propagate(dt)
-    engine.cores[0][0].block_until_ready()
+    # block_until_ready does not sync through the axon tunnel — force a
+    # value fetch (real scalar; complex transfers are rejected on TPU)
+    import jax.numpy as jnp
+
+    float(jnp.linalg.norm(engine.cores[0][0]).real)
     log(f"bench_chi: warmup step (compile) {time.time() - t0:.1f} s")
 
     t0 = time.time()

@@ -57,6 +57,13 @@ class Config:
     #: chains in the compute-bound large-χ regime — blocks are
     #: renormalised per site, so tens of sites compound to ≪ 1e-5.
     env_precision: str = "highest"
+    #: Relaxed (inexact) Krylov: matvec iterations ≥ 2 run at a single
+    #: bf16 pass.  Their errors enter ``exp(T)e₀`` weighted by the late
+    #: expansion coefficients (van den Eshof & Hochbruck relaxation), so
+    #: the result stays within the integrator threshold while the
+    #: dominant large-χ cost — the Krylov matvec tail — runs ~3× faster
+    #: on the MXU.  Exact on CPU (precision flags are no-ops there).
+    krylov_relaxed: bool = False
     #: Fixed scan-run chunk length: every distinct scan length compiles
     #: its own XLA program, so uniform runs are cut into scan_chunk-sized
     #: pieces sharing one compilation (remainders go per-site).

@@ -71,6 +71,11 @@ import os as _os
 #: for the large-χ bench).
 CHQR_ITERS = int(_os.environ.get("PYTDSCF_CHQR_ITERS", "3"))
 
+#: Apply the per-round orthogonalisation as (r, r) triangular INVERSE +
+#: MXU matmul (default) instead of an (N, r) triangular solve — see
+#: ``_cholesky_qr``.  Set PYTDSCF_CHQR_SOLVE=1 to restore the solve.
+CHQR_INVERSE = _os.environ.get("PYTDSCF_CHQR_SOLVE", "0") == "0"
+
 
 def _cholesky_qr(
     m: jax.Array, shift_rel: float = 1.0e-06, iters: int = CHQR_ITERS
@@ -108,10 +113,24 @@ def _cholesky_qr(
         s = rel * jnp.maximum(jnp.max(d), jnp.asarray(1e-30, d.dtype))
         g = g + jnp.diag(jnp.where(live, s, 1.0)).astype(g.dtype)
         L = jnp.linalg.cholesky(g)
-        q = jax.lax.linalg.triangular_solve(
-            L, q, left_side=False, lower=True,
-            transpose_a=True, conjugate_a=True,
-        )
+        if CHQR_INVERSE:
+            # triangular solves lower to sequential block substitution on
+            # TPU; inverting the (r, r) factor once (r× fewer RHS columns)
+            # and applying q·L^{-†} as an MXU matmul is ~2× faster per
+            # round at χ≥1024.  L is block-diagonal w.r.t. live/dead
+            # columns (dead Gram rows are zero + unit diagonal patch), so
+            # dead columns of q stay exactly zero through the matmul.
+            Linv = jax.lax.linalg.triangular_solve(
+                L, jnp.eye(r, dtype=L.dtype), left_side=True, lower=True
+            )
+            q = jnp.einsum(
+                "ik,jk->ij", q, Linv.conj(), precision=PRECISION
+            )
+        else:
+            q = jax.lax.linalg.triangular_solve(
+                L, q, left_side=False, lower=True,
+                transpose_a=True, conjugate_a=True,
+            )
         Rit = L.conj().T
         R_acc = Rit if R_acc is None else Rit @ R_acc
     q = jnp.where(live[None, :], q, 0.0)

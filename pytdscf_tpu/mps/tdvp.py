@@ -119,6 +119,7 @@ def _site_step_impl(
     forward: bool,
     mv_prec: str = "highest",
     env_prec: str = "highest",
+    relaxed: bool = False,
 ):
     """One fused TDVP site update.  Returns (site_out, psi_next, blocks_new).
 
@@ -137,6 +138,16 @@ def _site_step_impl(
     hmv = _make_hmatvec(
         pairs, Ls, Ws, Rs, shapes, nstate, dtype, hfacs, prec=mv_prec
     )
+    # relaxed (inexact) Krylov: iterations ≥ 2 run the matvec at a single
+    # bf16 pass — their errors enter exp(T)e₀ weighted by the (already
+    # small) late expansion coefficients (see krylov_expm docstring)
+    hmv_lo = (
+        _make_hmatvec(
+            pairs, Ls, Ws, Rs, shapes, nstate, dtype, hfacs, prec="default"
+        )
+        if relaxed
+        else None
+    )
     vec = K.stack_states(psis)
     # telemetry: [Σ Krylov iterations, # krylov_expm calls, # cap-hits]
     kry_count = jnp.zeros((3,), jnp.int32)
@@ -152,6 +163,7 @@ def _site_step_impl(
             conserve_norm=conserve_norm or mode == "imag",
             arnoldi=arnoldi,
             return_iterations=True,
+            matvec_lo=hmv_lo,
         )
         kry_count = kry_count + jnp.stack(
             [k_used.astype(jnp.int32), jnp.asarray(1, jnp.int32),
@@ -194,16 +206,19 @@ def _site_step_impl(
         kfacs = tuple(
             jnp.exp(ln + le) for ln, le in zip(logs_new, l_env)
         )
-        if forward:
-            kmv = _make_kmatvec(
-                pairs, blocks_new, env_blocks, sshapes, nstate, dtype,
-                kfacs, prec=mv_prec
+        kLs = blocks_new if forward else env_blocks
+        kRs = env_blocks if forward else blocks_new
+        kmv = _make_kmatvec(
+            pairs, kLs, kRs, sshapes, nstate, dtype, kfacs, prec=mv_prec
+        )
+        kmv_lo = (
+            _make_kmatvec(
+                pairs, kLs, kRs, sshapes, nstate, dtype, kfacs,
+                prec="default",
             )
-        else:
-            kmv = _make_kmatvec(
-                pairs, env_blocks, blocks_new, sshapes, nstate, dtype,
-                kfacs, prec=mv_prec
-            )
+            if relaxed
+            else None
+        )
         svec, k_used2, k_bad2 = krylov_expm(
             kmv,
             K.stack_states(svals),
@@ -213,6 +228,7 @@ def _site_step_impl(
             conserve_norm=conserve_norm or mode == "imag",
             arnoldi=arnoldi,
             return_iterations=True,
+            matvec_lo=kmv_lo,
         )
         kry_count = kry_count + jnp.stack(
             [k_used2.astype(jnp.int32), jnp.asarray(1, jnp.int32),
@@ -244,6 +260,7 @@ _site_step = partial(
         "forward",
         "mv_prec",
         "env_prec",
+        "relaxed",
     ),
 )(_site_step_impl)
 
@@ -260,6 +277,7 @@ _site_step = partial(
         "forward",
         "mv_prec",
         "env_prec",
+        "relaxed",
     ),
 )
 def _scan_site_steps(
@@ -282,6 +300,7 @@ def _scan_site_steps(
     forward: bool,
     mv_prec: str = "highest",
     env_prec: str = "highest",
+    relaxed: bool = False,
 ):
     """A RUN of uniform-shape site steps as ONE ``lax.scan`` program.
 
@@ -305,7 +324,7 @@ def _scan_site_steps(
             pairs=pairs, nstate=nstate, mode=mode,
             conserve_norm=conserve_norm, arnoldi=arnoldi,
             max_dim=max_dim, last=False, forward=forward,
-            mv_prec=mv_prec, env_prec=env_prec,
+            mv_prec=mv_prec, env_prec=env_prec, relaxed=relaxed,
         )
         return (
             (psi_next, blocks_new, logs_new, kry_sum + kry),
@@ -725,6 +744,7 @@ class TDVPEngine:
             max_dim=cfg.max_krylov,
             mv_prec=cfg.matvec_precision,
             env_prec=cfg.env_precision,
+            relaxed=cfg.krylov_relaxed,
         )
         pos = 0
         while pos < len(order):

@@ -509,6 +509,22 @@ class SPMDPITDVP:
             if remain_nleg[kept[0]] == 1:
                 return np.real(np.diag(rho)).astype(rho.dtype)
             return rho
+        if len(kept) == 2 and self._conv is None:
+            # in-mesh two-site RDM (captured transfers + ride-along middle)
+            fn = self._obs_fn(
+                "site_rdm2", nkept=2, kept_sites=tuple(kept), istate=istate
+            )
+            re, im = fn(self.cores, self.sig)
+            rho4 = (
+                np.asarray(jax.device_get(re))
+                + 1j * np.asarray(jax.device_get(im))
+            )  # [ket_p, bra_p, ket_q, bra_q]
+            out = rho4
+            if remain_nleg[kept[1]] == 1:
+                out = np.einsum("abcc->abc", out)
+            if remain_nleg[kept[0]] == 1:
+                out = np.einsum("aa...->a...", out)
+            return out
         return self._gather_engine().reduced_density(remain_nleg, istate)
 
     def reduced_density_liouville(
@@ -1408,13 +1424,154 @@ def _build_observable(
                 lg = jax.lax.ppermute(lg2 + dl, axis, to_left)
 
             ck = cores[istate][kt]
+            # rho[ket, bra] — the serial engine's leg order
             rho = jnp.einsum(
-                "bk,bno,kmp,op->nm", capL, ck.conj(), ck, capR,
+                "bk,bno,kmp,op->mn", capL, ck.conj(), ck, capR,
                 precision=PREC,
             ) * jnp.exp(clgL + clgR).astype(dtype)
             rho = jnp.where(idx == kd, rho, jnp.zeros_like(rho))
             rho = jax.lax.psum(rho, axis)
             return rho.real, rho.imag
+
+        spec_in = ((P(axis),) * nstate, (P(axis),) * nstate)
+        return jax.jit(_shard_map(
+            local, mesh=mesh, in_specs=spec_in, out_specs=(P(), P()),
+            check_vma=False,
+        ))
+
+    if kind == "site_rdm2":
+        # Hilbert-space TWO-site RDM ρ[ket_p, bra_p, ket_q, bra_q] at
+        # global sites p < q, fully in-mesh: captured left transfer at p,
+        # captured right transfer at q (both as in ``site_rdm``), and a
+        # ride-along middle pass — the open (ket_p, bra_p) legs travel as
+        # a batch axis of the double-layer transfer from p to q, crossing
+        # device boundaries by ppermute and picking up each crossed
+        # device's boundary insertion.  Matches the serial engine's leg
+        # order (``mps/tdvp.py:reduced_density``); zero host-side gather.
+        p_glob, q_glob = kept_sites
+        pd, pt = divmod(p_glob, m)
+        qd, qt = divmod(q_glob, m)
+        rq = qd - pd  # static: devices the middle pass crosses
+
+        def local(cores, sigs):
+            idx = jax.lax.axis_index(axis)
+            sig_own = tuple(s[0] for s in sigs)
+            X = x_of(sig_own, idx, istate)
+            dtype = cores[istate].dtype
+            to_right = [(i_, (i_ + 1) % Pn) for i_ in range(Pn)]
+            to_left = [(i_, (i_ - 1) % Pn) for i_ in range(Pn)]
+            e = jnp.zeros((D, D), dtype).at[0, 0].set(1.0)
+            z = jnp.asarray(0.0, cores[istate].real.dtype)
+            ts = jnp.arange(m)
+
+            # ---- left chain, capture before site (pd, pt)
+            S, lg = e, z
+            capL, clgL = e, z
+            for r in range(Pn):
+                S2 = jnp.einsum(
+                    "bk,bo,kp->op", S, X.conj(), X, precision=PREC
+                )
+                S2, dl = _norm_log(S2)
+                lg2 = lg + dl
+                cap_round = (idx == r) & (idx == pd)
+
+                def siteL(carry, cw):
+                    S_, l_, cS, cl = carry
+                    c, t = cw
+                    hit = cap_round & (t == pt)
+                    cS = jnp.where(hit, S_, cS)
+                    cl = jnp.where(hit, l_, cl)
+                    nS = K.ovlp_left_conj(S_, c, c)
+                    nS, d_ = _norm_log(nS)
+                    return (nS, l_ + d_, cS, cl), None
+
+                (S3, lg3, capL, clgL), _ = jax.lax.scan(
+                    siteL, (S2, lg2, capL, clgL), (cores[istate], ts)
+                )
+                S = jax.lax.ppermute(S3, axis, to_right)
+                lg = jax.lax.ppermute(lg3, axis, to_right)
+
+            # ---- right chain, capture after site (qd, qt)
+            S, lg = e, z
+            capR, clgR = e, z
+            for r in range(Pn):
+                cap_round = (idx == (Pn - 1 - r)) & (idx == qd)
+
+                def siteR(carry, cw):
+                    S_, l_, cS, cl = carry
+                    c, t = cw
+                    hit = cap_round & (t == qt)
+                    cS = jnp.where(hit, S_, cS)
+                    cl = jnp.where(hit, l_, cl)
+                    nS = jnp.einsum(
+                        "bno,knp,op->bk", c.conj(), c, S_,
+                        precision=PREC,
+                    )
+                    nS, d_ = _norm_log(nS)
+                    return (nS, l_ + d_, cS, cl), None
+
+                (S2, lg2, capR, clgR), _ = jax.lax.scan(
+                    siteR, (S, lg, capR, clgR),
+                    (cores[istate][::-1], ts[::-1]),
+                )
+                ins = jnp.einsum(
+                    "bo,bk,pk->op", X.conj(), S2, X, precision=PREC
+                )
+                ins, dl = _norm_log(ins)
+                S = jax.lax.ppermute(ins, axis, to_left)
+                lg = jax.lax.ppermute(lg2 + dl, axis, to_left)
+
+            # ---- middle ride-along: M[(ket_p, bra_p), bra_bond, ket_bond]
+            cp = cores[istate][pt]
+            M0 = jnp.einsum(
+                "bk,bno,kmp->mnop", capL, cp.conj(), cp, precision=PREC
+            ).reshape(n * n, D, D)
+            M = jnp.where(idx == pd, M0, jnp.zeros_like(M0))
+            M, dl0 = _norm_log(M)
+            lgM = jnp.where(idx == pd, clgL + dl0, z)
+            rho4 = jnp.zeros((n, n, n, n), dtype)
+            for s in range(rq + 1):
+                active = idx == pd + s
+                if s > 0:
+                    # crossed a device boundary: its own-left insertion
+                    Mx = jnp.einsum(
+                        "xop,oa,pb->xab", M, X.conj(), X, precision=PREC
+                    )
+                    Mx, dlx = _norm_log(Mx)
+                    M = jnp.where(active, Mx, M)
+                    lgM = lgM + jnp.where(active, dlx, z)
+
+                def siteM(carry, cw):
+                    M_, l_ = carry
+                    c, t = cw
+                    g = idx * m + t
+                    apply = active & (g > p_glob) & (g < q_glob)
+                    nM = jnp.einsum(
+                        "xop,ojc,pjq->xcq", M_, c.conj(), c,
+                        precision=PREC,
+                    )
+                    nM = jnp.where(apply, nM, M_)
+                    nM, d_ = _norm_log(nM)
+                    return (nM, l_ + d_), None
+
+                (M, lgM), _ = jax.lax.scan(
+                    siteM, (M, lgM), (cores[istate], ts)
+                )
+                if s == rq:
+                    cq = cores[istate][qt]
+                    close = jnp.einsum(
+                        "xop,onc,pmq,cq->xmn", M, cq.conj(), cq, capR,
+                        precision=PREC,
+                    ).reshape(n, n, n, n)
+                    scl = jnp.exp(lgM + clgR).astype(dtype)
+                    close = close * scl
+                    rho4 = jnp.where(idx == qd, close, rho4)
+                else:
+                    M = jax.lax.ppermute(M, axis, to_right)
+                    lgM = jax.lax.ppermute(lgM, axis, to_right)
+            # rho4[ket_p, bra_p, ket_q, bra_q] (serial leg order)
+            rho4 = jax.lax.psum(rho4, axis)
+            return rho4.real, rho4.imag
 
         spec_in = ((P(axis),) * nstate, (P(axis),) * nstate)
         return jax.jit(_shard_map(

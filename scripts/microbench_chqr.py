@@ -1,0 +1,66 @@
+"""Microbench: CholeskyQR variants at north-star gauge shapes on TPU.
+
+Times the (N, r) = (chi*d, chi) complex64 thin-QR factor used by every
+gauge move at chi=1024 (split layout, d=4), comparing the triangular-solve
+round body against the (r, r) inverse + MXU matmul body
+(PYTDSCF_CHQR_SOLVE=1 vs default).  Run each variant in a SEPARATE process
+(the flag is read at import).
+
+    python scripts/microbench_chqr.py                   # inverse (default)
+    PYTDSCF_CHQR_SOLVE=1 python scripts/microbench_chqr.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jaxcache-{jax.devices()[0].platform}")
+
+from pytdscf_tpu.mps import kernels as K  # noqa: E402
+
+
+def main() -> None:
+    chi = int(os.environ.get("MB_CHI", "1024"))
+    d = int(os.environ.get("MB_D", "4"))
+    reps = int(os.environ.get("MB_REPS", "20"))
+    variant = "solve" if not K.CHQR_INVERSE else "inverse"
+    print(f"chqr microbench: N={chi * d} r={chi} variant={variant} "
+          f"iters={K.CHQR_ITERS}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    # decaying Schmidt-like spectrum, representative conditioning
+    u, _ = np.linalg.qr(rng.normal(size=(chi * d, chi)))
+    sv = np.logspace(0, -5, chi)
+    a = (u * sv) @ np.linalg.qr(rng.normal(size=(chi, chi)))[0]
+    a = jnp.asarray(a + 0.1j * a[::-1], dtype=jnp.complex64)
+    a = jax.device_put(a)
+
+    f = jax.jit(K._cholesky_qr)
+    q, r = f(a)
+    # value-fetch sync (tunnel); complex fetch is rejected on TPU
+    float(jnp.linalg.norm(q).real)
+    t0 = time.time()
+    for _ in range(reps):
+        q, r = f(a)
+    float(jnp.linalg.norm(q).real)
+    dt = (time.time() - t0) / reps
+    # orthogonality + reconstruction checks on device
+    g = jnp.einsum("ik,il->kl", q.conj(), q,
+                   precision=jax.lax.Precision.HIGHEST)
+    orth = float(jnp.max(jnp.abs(g - jnp.eye(chi, dtype=g.dtype))))
+    rec = float(
+        (jnp.linalg.norm(q @ r - a) / jnp.linalg.norm(a)).real
+    )
+    print(f"{variant}: {dt * 1e3:.2f} ms/factor  orth={orth:.2e}  "
+          f"recon={rec:.2e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -119,13 +119,23 @@ def test_spmd_inmesh_site_rdm_matches_serial():
         legs = (0,) * p + (2,)
         rho_mesh = par.reduced_density(legs)
         rho_ser = np.asarray(chk.reduced_density(legs))
-        # match orientation against the serial convention
-        if not np.allclose(rho_mesh, rho_ser, atol=1e-8):
-            rho_mesh = rho_mesh.T
         np.testing.assert_allclose(rho_mesh, rho_ser, atol=1e-8)
         diag = par.reduced_density((0,) * p + (1,))
         np.testing.assert_allclose(
             np.real(diag), np.real(np.diag(rho_ser)), atol=1e-8
+        )
+    # two-site RDMs: same device (0,1), cross-device far (2,13),
+    # boundary-adjacent (7,8), ends (0,15)
+    for p, q in ((0, 1), (2, 13), (7, 8), (0, 15)):
+        legs = [0] * 16
+        legs[p], legs[q] = 2, 2
+        rho_mesh = par.reduced_density(tuple(legs[: q + 1]))
+        rho_ser = np.asarray(chk.reduced_density(tuple(legs[: q + 1])))
+        np.testing.assert_allclose(rho_mesh, rho_ser, atol=1e-8)
+        legs[p] = 1
+        mixed = par.reduced_density(tuple(legs[: q + 1]))
+        np.testing.assert_allclose(
+            mixed, np.einsum("aabc->abc", rho_ser), atol=1e-8
         )
 
 
