@@ -496,6 +496,40 @@ class SPMDPITDVP:
         if self.config.space == "liouville":
             return self.reduced_density_liouville(remain_nleg, istate)
         kept = [p for p, n in enumerate(remain_nleg) if n > 0]
+        if self._conv is not None and len(kept) in (1, 2):
+            # state-resolved RDM on a state-to-site-converted chain:
+            # |istate⟩⟨istate| projector at the electronic site (global
+            # site 0) + the in-mesh kept-site machinery, sites shifted +1
+            dims = self._conv["phys_dims"]
+            gkept = [p + 1 for p in kept]
+            if len(kept) == 1:
+                fn = self._obs_fn(
+                    "site_rdm", nkept=1, kept_sites=(gkept[0],),
+                    istate=0, wstate=istate,
+                )
+                re, im = fn(self.cores, self.sig)
+                rho = (
+                    np.asarray(jax.device_get(re))
+                    + 1j * np.asarray(jax.device_get(im))
+                )[: dims[gkept[0]], : dims[gkept[0]]]
+                if remain_nleg[kept[0]] == 1:
+                    return np.real(np.diag(rho)).astype(rho.dtype)
+                return rho
+            fn = self._obs_fn(
+                "site_rdm2", nkept=2, kept_sites=tuple(gkept),
+                istate=0, wstate=istate,
+            )
+            re, im = fn(self.cores, self.sig)
+            d1, d2 = dims[gkept[0]], dims[gkept[1]]
+            out = (
+                np.asarray(jax.device_get(re))
+                + 1j * np.asarray(jax.device_get(im))
+            )[:d1, :d1, :d2, :d2]
+            if remain_nleg[kept[1]] == 1:
+                out = np.einsum("abcc->abc", out)
+            if remain_nleg[kept[0]] == 1:
+                out = np.einsum("aa...->a...", out)
+            return out
         if len(kept) == 1 and self._conv is None:
             # in-mesh single-site RDM (captured partial transfers)
             fn = self._obs_fn(
@@ -1062,7 +1096,7 @@ def _build_step(
 # ------------------------------------------------------- observable builds
 def _build_observable(
     kind, *, mesh, axis, Pn, m, D, n, pairs, nstate, epsrho, double,
-    nkept=0, kept_sites=(), istate=0, ne=0,
+    nkept=0, kept_sites=(), istate=0, ne=0, wstate=-1,
 ):
     """In-mesh observables: pipelined exact contractions over the ring.
 
@@ -1365,6 +1399,14 @@ def _build_observable(
             e = jnp.zeros((D, D), dtype).at[0, 0].set(1.0)
             z = jnp.asarray(0.0, cores[istate].real.dtype)
             ts = jnp.arange(m)
+            # wstate ≥ 0: |wstate⟩⟨wstate| projector at GLOBAL site 0 —
+            # the state-resolved RDM of a state-to-site-converted chain
+            # (the electronic site routes direct-sum state blocks)
+            wvs = jnp.where(
+                ((idx * m + ts) == 0)[:, None] & (wstate >= 0),
+                (jnp.arange(n) == wstate).astype(jnp.float32)[None, :],
+                jnp.ones((1, n), jnp.float32),
+            )
 
             # ---- left chain with capture at (kd, kt)
             S, lg = e, z
@@ -1379,16 +1421,19 @@ def _build_observable(
 
                 def siteL(carry, cw):
                     S_, l_, cS, cl = carry
-                    c, t = cw
+                    c, t, wv = cw
                     hit = cap_round & (t == kt)
                     cS = jnp.where(hit, S_, cS)
                     cl = jnp.where(hit, l_, cl)
-                    nS = K.ovlp_left_conj(S_, c, c)
+                    nS = jnp.einsum(
+                        "bk,bno,n,knp->op", S_, c.conj(),
+                        wv.astype(c.dtype), c, precision=PREC,
+                    )
                     nS, d_ = _norm_log(nS)
                     return (nS, l_ + d_, cS, cl), None
 
                 (S3, lg3, capL, clgL), _ = jax.lax.scan(
-                    siteL, (S2, lg2, capL, clgL), (cores[istate], ts)
+                    siteL, (S2, lg2, capL, clgL), (cores[istate], ts, wvs)
                 )
                 S = jax.lax.ppermute(S3, axis, to_right)
                 lg = jax.lax.ppermute(lg3, axis, to_right)
@@ -1463,6 +1508,13 @@ def _build_observable(
             e = jnp.zeros((D, D), dtype).at[0, 0].set(1.0)
             z = jnp.asarray(0.0, cores[istate].real.dtype)
             ts = jnp.arange(m)
+            # optional |wstate⟩⟨wstate| projector at global site 0 (the
+            # electronic site of a state-to-site-converted chain)
+            wvs = jnp.where(
+                ((idx * m + ts) == 0)[:, None] & (wstate >= 0),
+                (jnp.arange(n) == wstate).astype(jnp.float32)[None, :],
+                jnp.ones((1, n), jnp.float32),
+            )
 
             # ---- left chain, capture before site (pd, pt)
             S, lg = e, z
@@ -1477,16 +1529,19 @@ def _build_observable(
 
                 def siteL(carry, cw):
                     S_, l_, cS, cl = carry
-                    c, t = cw
+                    c, t, wv = cw
                     hit = cap_round & (t == pt)
                     cS = jnp.where(hit, S_, cS)
                     cl = jnp.where(hit, l_, cl)
-                    nS = K.ovlp_left_conj(S_, c, c)
+                    nS = jnp.einsum(
+                        "bk,bno,n,knp->op", S_, c.conj(),
+                        wv.astype(c.dtype), c, precision=PREC,
+                    )
                     nS, d_ = _norm_log(nS)
                     return (nS, l_ + d_, cS, cl), None
 
                 (S3, lg3, capL, clgL), _ = jax.lax.scan(
-                    siteL, (S2, lg2, capL, clgL), (cores[istate], ts)
+                    siteL, (S2, lg2, capL, clgL), (cores[istate], ts, wvs)
                 )
                 S = jax.lax.ppermute(S3, axis, to_right)
                 lg = jax.lax.ppermute(lg3, axis, to_right)

@@ -165,6 +165,15 @@ def test_spmd_multistate_tracks_serial():
     # electronic populations transferred but not equalised
     assert pop_par[0] > 0.6
 
+    # state-resolved in-mesh RDMs on the converted chain (projector at
+    # the electronic site) track the serial engine's per-state RDMs —
+    # zero host-side gather
+    for ist in (0, 1):
+        for legs in ((2,), (0, 2), (2, 0, 2), (1, 2)):
+            rho_p = par.reduced_density(legs, istate=ist)
+            rho_s = np.asarray(serial.reduced_density(legs, ist))
+            np.testing.assert_allclose(rho_p, rho_s, atol=5e-4)
+
 
 def test_spmd_adaptive_tracks_serial_adaptive():
     """Adaptive bond dimension under the SPMD chain-parallel sweep.
