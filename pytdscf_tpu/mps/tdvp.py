@@ -1868,6 +1868,37 @@ class TDVPEngine:
             out = np.einsum("...r,rns->...ns", out, nxt)
         return out[0, ..., 0]
 
+    def get_CI_coef_state(
+        self,
+        J: tuple[int, ...] | None = None,
+        trans_arrays: list | None = None,
+        istate: int = 0,
+    ) -> complex:
+        """One CI coefficient ⟨j₁…j_f|Ψ⟩ or a general product-state overlap
+        ⟨v₁⊗…⊗v_f|Ψ⟩ (e.g. coherent-state sampling with the
+        :meth:`basis.ho.HarmonicOscillator.get_ovi_CS_HO` vectors).
+
+        Reference ``MPSCoef.get_CI_coef_state``
+        (``/root/reference/pytdscf/_mps_cls.py:1680``): pass either ``J``
+        (a basis-index tuple) or ``trans_arrays`` (one vector per DOF);
+        the bra is conjugated, matching the reference's einsum.
+        """
+        cores = self.cores[istate]
+        if (J is None) == (trans_arrays is None):
+            raise ValueError("set exactly one of J or trans_arrays")
+        if J is not None:
+            trans_arrays = []
+            for p, j in enumerate(J):
+                d = int(cores[p].shape[1])
+                v = np.zeros((d,), dtype=np.complex128)
+                v[j] = 1.0
+                trans_arrays.append(v)
+        S = dio.ones((1,), self.dtype)
+        for p, v in enumerate(trans_arrays):
+            vj = dio.put(np.conj(np.asarray(v)), self.dtype)
+            S = dio.jeinsum("l,n,lnr->r", S, vj, cores[p])
+        return complex(dio.fetch(S)[0])
+
     def distance(self, other: "TDVPEngine") -> float:
         """‖Ψ−Φ‖ via overlaps (reference ``distance_MPS``,
         ``_mps_cls.py:2950``)."""

@@ -56,7 +56,22 @@ class WaveFunction:
 
     @property
     def ci_coef(self):
-        return self.engine.cores
+        """Reference-compatible CI-coefficient view: supports indexing the
+        raw cores AND ``.get_CI_coef_state(J=..., trans_arrays=...)``
+        (coherent-state / product-state sampling, reference
+        ``_mps_cls.py:1680``)."""
+
+        class _CICoefView(list):
+            def __init__(s, engine):
+                super().__init__(engine.cores)
+                s._engine = engine
+
+            def get_CI_coef_state(s, J=None, trans_arrays=None, istate=0):
+                return s._engine.get_CI_coef_state(
+                    J=J, trans_arrays=trans_arrays, istate=istate
+                )
+
+        return _CICoefView(self.engine)
 
 
 class Simulator:
