@@ -59,50 +59,64 @@ PREC = jax.lax.Precision.HIGHEST
 Pair = tuple[int, int]
 
 
-@partial(jax.jit, static_argnames=("pairs", "thresh", "max_dim", "arnoldi"))
+@partial(jax.jit, static_argnames=(
+    "pairs", "thresh", "max_dim", "arnoldi", "prec", "relaxed"
+))
 def _sites_evolve_jit(
-    Ls, Ws, Rs, psis, scale, hfacs, *, pairs, thresh, max_dim, arnoldi
+    Ls, Ws, Rs, psis, scale, hfacs, *, pairs, thresh, max_dim, arnoldi,
+    prec="highest", relaxed=False,
 ):
     """All-state stacked H_eff Krylov exponential (one site per state)."""
     shapes = tuple(p.shape for p in psis)
     dtype = psis[0].dtype
     nstate = len(psis)
 
-    def hmv(vec):
-        xs = K.split_states(vec, shapes)
-        sigs = [jnp.zeros(sh, dtype) for sh in shapes]
-        for q, ((i, j), L, W, R) in enumerate(zip(pairs, Ls, Ws, Rs)):
-            sigs[i] = sigs[i] + K.heff_apply(L, W, R, xs[j]) * hfacs[
-                q
-            ].astype(dtype)
-        return K.stack_states(sigs)
+    def make(p_):
+        def hmv(vec):
+            xs = K.split_states(vec, shapes)
+            sigs = [jnp.zeros(sh, dtype) for sh in shapes]
+            for q, ((i, j), L, W, R) in enumerate(zip(pairs, Ls, Ws, Rs)):
+                sigs[i] = sigs[i] + K.heff_apply(L, W, R, xs[j], p_) * hfacs[
+                    q
+                ].astype(dtype)
+            return K.stack_states(sigs)
+
+        return hmv
 
     out = krylov_expm(
-        hmv, K.stack_states(psis), scale, thresh, max_dim=max_dim,
+        make(prec), K.stack_states(psis), scale, thresh, max_dim=max_dim,
         conserve_norm=False, arnoldi=arnoldi,
+        matvec_lo=make("default") if relaxed else None,
     )
     return tuple(K.split_states(out, shapes))
 
 
-@partial(jax.jit, static_argnames=("pairs", "thresh", "max_dim", "arnoldi"))
+@partial(jax.jit, static_argnames=(
+    "pairs", "thresh", "max_dim", "arnoldi", "prec", "relaxed"
+))
 def _bonds_evolve_jit(
-    Ls, Rs, sigs, scale, kfacs, *, pairs, thresh, max_dim, arnoldi
+    Ls, Rs, sigs, scale, kfacs, *, pairs, thresh, max_dim, arnoldi,
+    prec="highest", relaxed=False,
 ):
     shapes = tuple(s.shape for s in sigs)
     dtype = sigs[0].dtype
 
-    def kmv(vec):
-        xs = K.split_states(vec, shapes)
-        out = [jnp.zeros(sh, dtype) for sh in shapes]
-        for q, ((i, j), L, R) in enumerate(zip(pairs, Ls, Rs)):
-            out[i] = out[i] + K.keff_apply(L, R, xs[j]) * kfacs[q].astype(
-                dtype
-            )
-        return K.stack_states(out)
+    def make(p_):
+        def kmv(vec):
+            xs = K.split_states(vec, shapes)
+            out = [jnp.zeros(sh, dtype) for sh in shapes]
+            for q, ((i, j), L, R) in enumerate(zip(pairs, Ls, Rs)):
+                out[i] = out[i] + K.keff_apply(L, R, xs[j], p_) * kfacs[
+                    q
+                ].astype(dtype)
+            return K.stack_states(out)
+
+        return kmv
 
     out = krylov_expm(
-        kmv, K.stack_states(sigs), -scale, thresh, max_dim=max_dim,
+        make(prec), K.stack_states(sigs), -scale, thresh, max_dim=max_dim,
         conserve_norm=False, arnoldi=arnoldi,
+        matvec_lo=make("default") if relaxed else None,
     )
     return tuple(K.split_states(out, shapes))
 
@@ -424,6 +438,8 @@ class PITDVP:
             tuple(Ls), self._site_W(p), tuple(Rs), self._psis(p), scale,
             hfacs, pairs=self.pairs, thresh=self.config.thresh_exp,
             max_dim=self.config.max_krylov, arnoldi=self.arnoldi,
+            prec=self.config.matvec_precision,
+            relaxed=self.config.krylov_relaxed,
         )
         for i in range(self.nstate):
             self.cores[i][p] = new[i]
@@ -434,6 +450,8 @@ class PITDVP:
             tuple(Ls), tuple(Rs), tuple(sigs), scale, kfacs,
             pairs=self.pairs, thresh=self.config.thresh_exp,
             max_dim=self.config.max_krylov, arnoldi=self.arnoldi,
+            prec=self.config.matvec_precision,
+            relaxed=self.config.krylov_relaxed,
         )
 
     def _renorm(self, Bs, logs, p, forward):

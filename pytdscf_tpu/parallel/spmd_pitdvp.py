@@ -113,44 +113,52 @@ def _sig_anchor(sigs):
 
 
 def _sites_evolve(Ls, Ws, Rs, psis, scale, lsums, *, pairs, thresh,
-                  max_dim, arnoldi):
+                  max_dim, arnoldi, prec="highest", relaxed=False):
     """All-state stacked H_eff Krylov exponential."""
     shapes = tuple(p.shape for p in psis)
     dtype = psis[0].dtype
 
-    def hmv(vec):
-        xs = K.split_states(vec, shapes)
-        out = [jnp.zeros(sh, dtype) for sh in shapes]
-        for q, ((i, j), L, W, R) in enumerate(zip(pairs, Ls, Ws, Rs)):
-            out[i] = out[i] + K.heff_apply(L, W, R, xs[j]) * jnp.exp(
-                lsums[q]
-            ).astype(dtype)
-        return K.stack_states(out)
+    def make(p_):
+        def hmv(vec):
+            xs = K.split_states(vec, shapes)
+            out = [jnp.zeros(sh, dtype) for sh in shapes]
+            for q, ((i, j), L, W, R) in enumerate(zip(pairs, Ls, Ws, Rs)):
+                out[i] = out[i] + K.heff_apply(L, W, R, xs[j], p_) * jnp.exp(
+                    lsums[q]
+                ).astype(dtype)
+            return K.stack_states(out)
+
+        return hmv
 
     out = krylov_expm(
-        hmv, K.stack_states(psis), scale, thresh, max_dim=max_dim,
+        make(prec), K.stack_states(psis), scale, thresh, max_dim=max_dim,
         conserve_norm=False, arnoldi=arnoldi,
+        matvec_lo=make("default") if relaxed else None,
     )
     return tuple(K.split_states(out, shapes))
 
 
 def _bonds_evolve(Ls, Rs, sigs, scale, lsums, *, pairs, thresh, max_dim,
-                  arnoldi):
+                  arnoldi, prec="highest", relaxed=False):
     shapes = tuple(s.shape for s in sigs)
     dtype = sigs[0].dtype
 
-    def kmv(vec):
-        xs = K.split_states(vec, shapes)
-        out = [jnp.zeros(sh, dtype) for sh in shapes]
-        for q, ((i, j), L, R) in enumerate(zip(pairs, Ls, Rs)):
-            out[i] = out[i] + K.keff_apply(L, R, xs[j]) * jnp.exp(
-                lsums[q]
-            ).astype(dtype)
-        return K.stack_states(out)
+    def make(p_):
+        def kmv(vec):
+            xs = K.split_states(vec, shapes)
+            out = [jnp.zeros(sh, dtype) for sh in shapes]
+            for q, ((i, j), L, R) in enumerate(zip(pairs, Ls, Rs)):
+                out[i] = out[i] + K.keff_apply(L, R, xs[j], p_) * jnp.exp(
+                    lsums[q]
+                ).astype(dtype)
+            return K.stack_states(out)
+
+        return kmv
 
     out = krylov_expm(
-        kmv, K.stack_states(sigs), -scale, thresh, max_dim=max_dim,
+        make(prec), K.stack_states(sigs), -scale, thresh, max_dim=max_dim,
         conserve_norm=False, arnoldi=arnoldi,
+        matvec_lo=make("default") if relaxed else None,
     )
     return tuple(K.split_states(out, shapes))
 
@@ -340,6 +348,8 @@ class SPMDPITDVP:
             adaptive=self.config.adaptive,
             dD=self.config.adaptive_dD,
             p_proj=self.config.adaptive_p_proj,
+            prec=self.config.matvec_precision,
+            relaxed=self.config.krylov_relaxed,
         )
         if first:
             self._step_first = fn
@@ -618,16 +628,17 @@ class SPMDPITDVP:
 def _build_step(
     *, mesh, axis, Pn, m, D, n, pairs, nstate, thresh, max_dim, arnoldi,
     epsrho, p_svd, recenter_odd_first, adaptive=False, dD=0, p_proj=0.0,
+    prec="highest", relaxed=False,
 ):
     """Compile one full PITDVP time step as a single shard_map program."""
 
     evolve_sites = partial(
         _sites_evolve, pairs=pairs, thresh=thresh, max_dim=max_dim,
-        arnoldi=arnoldi,
+        arnoldi=arnoldi, prec=prec, relaxed=relaxed,
     )
     evolve_bonds = partial(
         _bonds_evolve, pairs=pairs, thresh=thresh, max_dim=max_dim,
-        arnoldi=arnoldi,
+        arnoldi=arnoldi, prec=prec, relaxed=relaxed,
     )
 
     # -------------------- pipelined EXACT boundary environments (per pair)

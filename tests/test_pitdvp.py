@@ -100,3 +100,21 @@ def test_pitdvp_tracks_serial(nseg):
     pops_par = _serial_rho(chk)
     pops_ser = _serial_rho(serial)
     np.testing.assert_allclose(pops_par, pops_ser, atol=5e-03)
+
+
+def test_pitdvp_krylov_relaxed_cpu_noop():
+    """Config.krylov_relaxed threads through the parallel evolvers; on CPU
+    the precision flags are no-ops so the runs must match bit-for-bit."""
+    ham, cores = _model()
+    a = PITDVP(
+        list(cores), ham, Config(jobname="r0", thresh_exp=1e-10), 2
+    )
+    b = PITDVP(
+        list(cores), ham,
+        Config(jobname="r1", thresh_exp=1e-10, krylov_relaxed=True), 2
+    )
+    for _ in range(2):
+        a.propagate(DT)
+        b.propagate(DT)
+    assert a.expectation() == pytest.approx(b.expectation(), abs=1e-13)
+    assert a.norm() == pytest.approx(b.norm(), abs=1e-13)
