@@ -62,13 +62,15 @@ def test_simulator_parallel_matches_serial(tmp_path):
     nsteps = 4
 
     e_s, wf_s = Simulator("ser", _model(), verbose=0).propagate(
-        stepsize=0.2, maxstep=nsteps, loadfile_ext="", autocorr=True
+        stepsize=0.2, maxstep=nsteps, loadfile_ext="", autocorr=True,
+        reduced_density=([(2,)], 1),
     )
     e_p, wf_p = Simulator("par", _model(), verbose=0).propagate(
         stepsize=0.2,
         maxstep=nsteps,
         loadfile_ext="",
         autocorr=True,
+        reduced_density=([(2,)], 1),
         parallel_split_indices=[(0, 1), (2, 3)],
     )
     assert e_p == pytest.approx(e_s, abs=5e-4)
@@ -80,6 +82,14 @@ def test_simulator_parallel_matches_serial(tmp_path):
         assert ser.shape == par.shape, name
         # boundary-splitting error of the two-phase parallel sweep
         np.testing.assert_allclose(par, ser, atol=2e-3, err_msg=name)
+
+    # netCDF reduced densities ride the in-mesh RDM path under SPMD
+    from pytdscf_tpu.util.read_nc import read_nc
+
+    rd_s = read_nc("ser_prop/reduced_density.nc", [(2,)])
+    rd_p = read_nc("par_prop/reduced_density.nc", [(2,)])
+    assert rd_p[(2,)].shape == rd_s[(2,)].shape
+    np.testing.assert_allclose(rd_p[(2,)], rd_s[(2,)], atol=2e-3)
 
     # wavefunction checkpoints exist and restart continues the run
     assert os.path.exists("wf_par.pkl")
