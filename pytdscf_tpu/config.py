@@ -63,6 +63,8 @@ class Config:
     #: the result stays within the integrator threshold while the
     #: dominant large-χ cost — the Krylov matvec tail — runs ~3× faster
     #: on the MXU.  Exact on CPU (precision flags are no-ops there).
+    #: Honored by the fixed-rank serial sweep and both chain-parallel
+    #: engines; the adaptive (a1TDVP) sweeps always run full precision.
     krylov_relaxed: bool = False
     #: Fixed scan-run chunk length: every distinct scan length compiles
     #: its own XLA program, so uniform runs are cut into scan_chunk-sized
