@@ -85,6 +85,15 @@ class Config:
     #: Compile uniform bulk-site runs of the TDVP half-sweep into one
     #: ``lax.scan`` program (amortises dispatch + warmup on long chains).
     scan_sweep: bool = False
+    #: Defer per-step property fetches: the driver batches the device
+    #: scalars of up to ``fetch_stride`` steps into ONE host sync
+    #: (``device_io.fetch_many``), amortising the ~30 ms axon-tunnel round
+    #: trip that dominates small-model driver loops.  Properties and .dat
+    #: rows are bit-identical to stride 1 — only the fetch (and the norm
+    #: -drift warning) is delayed by at most ``fetch_stride − 1`` steps.
+    #: Checkpoints, observables-dict evaluations and reduced-density
+    #: exports flush the queue first, so file ordering is preserved.
+    fetch_stride: int = 1
     #: CMF (constant-mean-field) adaptive-step propagation for MCTDH
     #: (reference ``wavefunction.propagate_CMF``).
     cmf: bool = False

@@ -596,6 +596,11 @@ class TDVPEngine:
         #: env stack: blocks accumulated by the previous half-sweep; popping
         #: yields the environment for the next site (reference op_sys_sites).
         self.env_stack: list[tuple[jax.Array, ...]] | None = None
+        #: which side the cached env stack covers: "left" after a forward
+        #: half-sweep, "right" after a backward one (its top entry is then
+        #: the full right environment at site 0 — reused by
+        #: :meth:`properties_submit` for a chain-free ⟨H⟩)
+        self._env_side: str | None = None
         #: per-site Krylov telemetry: running device-side [Σ iterations,
         #: # calls, # max-dim cap hits], fetched lazily by
         #: :meth:`krylov_stats` (reference _Debug.niter_krylov)
@@ -844,6 +849,7 @@ class TDVPEngine:
                 sys_stack.append((blocks_new, logs_new))
             pos += 1
         self.env_stack = sys_stack
+        self._env_side = "left" if forward else "right"
 
     # ------------------------------------------------ adaptive (a1TDVP)
     def _evolve_psis(self, psis, Ls, Ws, Rs, scale, mode, lLs=None, lRs=None):
@@ -898,6 +904,7 @@ class TDVPEngine:
                     continue
                 self.cores[i][p] = K.pad_core(c, tl, tr)
         self.env_stack = None
+        self._env_side = None
 
     def _half_sweep_adaptive_masked(
         self, scale, forward: bool, mode: str
@@ -978,6 +985,7 @@ class TDVPEngine:
             sys_blocks, sys_logs = blocks_new, logs_new
             sys_stack.append((blocks_new, logs_new))
         self.env_stack = sys_stack
+        self._env_side = "left" if forward else "right"
 
     def _pad_if_needed(self) -> None:
         caps = [1] + self._bond_caps() + [1]
@@ -1137,6 +1145,7 @@ class TDVPEngine:
             sys_blocks, sys_logs = blocks_new, logs_new
             sys_stack.append((blocks_new, logs_new))
         self.env_stack = sys_stack
+        self._env_side = "left" if forward else "right"
 
     def propagate(
         self, dt: float, one_gate_to_apply=None, kraus_op=None
@@ -1468,7 +1477,7 @@ class TDVPEngine:
             for i in range(self.nstate)
         ]
 
-    def properties_bundle(
+    def properties_submit(
         self,
         operator=None,
         *,
@@ -1476,20 +1485,42 @@ class TDVPEngine:
         energy: bool = True,
         norm: bool = True,
         populations: bool = True,
-    ) -> dict:
-        """Requested per-step observables with ONE device→host sync.
+    ) -> tuple[list, list]:
+        """Dispatch the requested observables; NO host sync.
 
-        Each individual observable fetch costs a full round trip (~30 ms
-        through the axon TPU tunnel), which dominates small-model driver
-        loops; all device contractions here run asynchronously and the
-        scalars cross the host boundary in a single packed vector
-        (``device_io.fetch_many``)."""
+        Returns ``(items, plan)`` — device futures plus the decode plan for
+        :meth:`properties_resolve`.  Drivers batch the items of several
+        steps into one ``device_io.fetch_many`` (``Config.fetch_stride``),
+        amortising the ~30 ms axon-tunnel round trip.
+
+        When the engine's cached environment stack is the full right stack
+        a backward half-sweep just rebuilt (``self._env_side == "right"``),
+        ⟨H⟩ reuses its top block — one ``heff``+dot per state pair instead
+        of an O(nsite) chain recontraction every step."""
         import math
 
-        rd = jnp.float32 if self.dtype == jnp.complex64 else jnp.float64
         liouville = self.config.space == "liouville"
         items: list = []
         plan: list = []
+        if energy:
+            is_ham = operator is None or operator is self.hamiltonian
+            if (
+                is_ham
+                and self.env_stack is not None
+                and self._env_side == "right"
+                and len(self.env_stack) == self.nsite
+            ):
+                blocks, logs = self.env_stack[-1]
+                triv = dio.ones((1, 1, 1), self.dtype)
+                for q, pair in enumerate(self.pairs):
+                    i, j = pair
+                    sig = K.heff_apply(
+                        triv, self.W[pair][0], blocks[q], self.cores[j][0]
+                    )
+                    items.append(dio.jvdot(self.cores[i][0], sig))
+                    items.append(logs[q])
+                plan.append(("energy", len(self.pairs)))
+                energy = False  # chain path below skipped
         if energy:
             if operator is None or operator is self.hamiltonian:
                 pairs, W = self.pairs, self.W
@@ -1552,7 +1583,20 @@ class TDVPEngine:
                 S = dio.jeinsum("lk,lnr,n->rk", S, self.cores[0][p], w)
             items.append(S)
             plan.append(("trace", 1))
-        vals = dio.fetch_many(items, rd)
+        return items, plan
+
+    def properties_resolve(
+        self,
+        vals: list,
+        plan: list,
+        *,
+        norm: bool = True,
+        populations: bool = True,
+    ) -> dict:
+        """Decode fetched values from :meth:`properties_submit`."""
+        import math
+
+        liouville = self.config.space == "liouville"
         out: dict = {}
         k = 0
         pops = None
@@ -1584,6 +1628,39 @@ class TDVPEngine:
                 else float(math.sqrt(sum(pops)))
             )
         return out
+
+    def properties_bundle(
+        self,
+        operator=None,
+        *,
+        autocorr: bool = True,
+        energy: bool = True,
+        norm: bool = True,
+        populations: bool = True,
+    ) -> dict:
+        """Requested per-step observables with ONE device→host sync.
+
+        Each individual observable fetch costs a full round trip (~30 ms
+        through the axon TPU tunnel), which dominates small-model driver
+        loops; all device contractions run asynchronously and the scalars
+        cross the host boundary in a single packed vector
+        (``device_io.fetch_many``).  See :meth:`properties_submit` for the
+        multi-step deferred variant."""
+        items, plan = self.properties_submit(
+            operator,
+            autocorr=autocorr,
+            energy=energy,
+            norm=norm,
+            populations=populations,
+        )
+        vals = dio.fetch_many(items, self.fetch_real_dtype())
+        return self.properties_resolve(
+            vals, plan, norm=norm, populations=populations
+        )
+
+    def fetch_real_dtype(self):
+        """Real dtype for packed host fetches (``device_io.fetch_many``)."""
+        return jnp.float32 if self.dtype == jnp.complex64 else jnp.float64
 
     def norm(self) -> float:
         if self.config.space == "liouville":
@@ -1745,6 +1822,7 @@ class TDVPEngine:
 
     def invalidate_env(self) -> None:
         self.env_stack = None
+        self._env_side = None
 
     def set_hamiltonian(self, hamiltonian) -> None:
         """Swap the Hamiltonian (time-dependent drives; reference

@@ -91,6 +91,10 @@ class Properties:
         self.jobdir = config.jobname
         os.makedirs(self.jobdir, exist_ok=True)
         self._files: dict[str, object] = {}
+        #: deferred-fetch queue (``Config.fetch_stride`` > 1): per-step
+        #: device futures + export intents, flushed in one packed fetch
+        self._pending: list[dict] = []
+        self._pending_step: dict | None = None
 
         if reduced_density is not None:
             self.rd_keys = list(reduced_density[0])
@@ -171,6 +175,45 @@ class Properties:
         want_e = energy and self.nstep % energy_per_step == 0
         want_n = norm and self.nstep % norm_per_step == 0
         want_p = populations and self.nstep % populations_per_step == 0
+        want_obs = (
+            observables
+            and self.nstep % observables_per_step == 0
+            and bool(self.model.observables)
+        )
+        want_rd = (
+            self.rd_keys is not None and self.nstep % self.rd_step == 0
+        )
+        if (
+            self.config.fetch_stride > 1
+            and hasattr(self.engine, "properties_submit")
+            and (not want_ac or self.t2_trick)
+            and (want_ac or want_e or want_n or want_p)
+            # observables-dict / reduced-density / adaptive-bonddim
+            # evaluations sync the device anyway — run those steps inline
+            and not want_obs
+            and not want_rd
+            and not self.config.adaptive
+        ):
+            items, plan = self.engine.properties_submit(
+                self.model.hamiltonian,
+                autocorr=want_ac, energy=want_e,
+                norm=want_n, populations=want_p,
+            )
+            self.bonddim = (
+                self.engine.bond_dims()
+                if hasattr(self.engine, "bond_dims")
+                else None
+            )
+            self._pending_step = {
+                "nstep": self.nstep,
+                "t": self.get_time_display(),
+                "items": items,
+                "plan": plan,
+                "wants": (want_ac, want_e, want_n, want_p),
+                "bonddim": self.bonddim,
+            }
+            return
+        self.flush()
         bundled = False
         if (
             hasattr(self.engine, "properties_bundle")
@@ -214,18 +257,7 @@ class Properties:
         if want_n:
             if not bundled:
                 self.norm = self.engine.norm()
-            if (
-                self.config.conserve_norm
-                and self.config.space == "hilbert"
-                and not self._norm_warned
-                and abs(self.norm - 1.0) > 1.0e-05
-            ):
-                warnings.warn(
-                    f"norm drift detected: |Psi| = {self.norm:.10f} at step "
-                    f"{self.nstep} (reference warns likewise, "
-                    "properties.py:366-373)"
-                )
-                self._norm_warned = True
+            self._check_norm_drift(self.nstep)
         if want_p and not bundled:
             self.pops = self.engine.pop_states()
         if observables and self.nstep % observables_per_step == 0:
@@ -251,45 +283,136 @@ class Properties:
         populations_per_step=1,
         observables_per_step=1,
     ) -> None:
+        if self._pending_step is not None:
+            # this step's values are still device futures — record the
+            # export intent; rows are written (in step order) at flush
+            rec = self._pending_step
+            self._pending_step = None
+            rec["export"] = (
+                autocorr_per_step, populations_per_step, observables_per_step
+            )
+            self._pending.append(rec)
+            if len(self._pending) >= self.config.fetch_stride:
+                self.flush()
+            return
+        self._write_rows(
+            self.get_time_display(),
+            self.nstep,
+            self.autocorr,
+            self.pops,
+            self.bonddim,
+            self.expectations,
+            autocorr_per_step,
+            populations_per_step,
+            observables_per_step,
+        )
+
+    def flush(self) -> None:
+        """Resolve all deferred steps with ONE packed device fetch and
+        write their .dat rows in step order."""
+        if self._pending_step is not None:
+            # get_properties deferred but export was never called (final
+            # partial step) — export everything due
+            rec = self._pending_step
+            self._pending_step = None
+            rec["export"] = (1, 1, 1)
+            self._pending.append(rec)
+        if not self._pending:
+            return
+        from pytdscf_tpu.mps import device_io as dio
+
+        pending, self._pending = self._pending, []
+        items = [it for rec in pending for it in rec["items"]]
+        vals = dio.fetch_many(items, self.engine.fetch_real_dtype())
+        k = 0
+        for rec in pending:
+            n = len(rec["items"])
+            want_ac, want_e, want_n, want_p = rec["wants"]
+            out = self.engine.properties_resolve(
+                vals[k:k + n], rec["plan"],
+                norm=want_n, populations=want_p,
+            )
+            k += n
+            if want_ac:
+                self.autocorr = out["autocorr"]
+            if want_e:
+                self.energy = out["energy"].real
+            if want_n:
+                self.norm = out["norm"]
+                self._check_norm_drift(rec["nstep"])
+            if want_p:
+                self.pops = out["populations"]
+            self._write_rows(
+                rec["t"], rec["nstep"],
+                self.autocorr if want_ac else None,
+                self.pops if want_p else None,
+                rec["bonddim"], {}, *rec["export"],
+            )
+
+    def _check_norm_drift(self, nstep: int) -> None:
+        if (
+            self.config.conserve_norm
+            and self.config.space == "hilbert"
+            and not self._norm_warned
+            and abs(self.norm - 1.0) > 1.0e-05
+        ):
+            warnings.warn(
+                f"norm drift detected: |Psi| = {self.norm:.10f} at step "
+                f"{nstep} (reference warns likewise, "
+                "properties.py:366-373)"
+            )
+            self._norm_warned = True
+
+    def _write_rows(
+        self,
+        t: float,
+        nstep: int,
+        autocorr,
+        pops,
+        bonddim,
+        expectations,
+        autocorr_per_step=1,
+        populations_per_step=1,
+        observables_per_step=1,
+    ) -> None:
         unit = self.config.display_time_unit
-        t = self.get_time_display()
-        if self.autocorr is not None and self.nstep % autocorr_per_step == 0:
+        if autocorr is not None and nstep % autocorr_per_step == 0:
             f = self._dat("autocorr", f"# time [{unit}]\t auto-correlation")
             td = t * 2 if self.t2_trick else t
-            a = self.autocorr
+            a = autocorr
             f.write(f"{td:6.9f}\t{a.real: 6.9f}{a.imag:+6.9f}j\n")
             f.flush()
-        if self.pops is not None and self.nstep % populations_per_step == 0:
+        if pops is not None and nstep % populations_per_step == 0:
             f = self._dat(
                 "populations",
                 f"# time [{unit}]\t"
-                + "\t".join(f"pop_{i}" for i in range(len(self.pops))),
+                + "\t".join(f"pop_{i}" for i in range(len(pops))),
             )
             f.write(
-                f"{t:6.9f}\t" + "\t".join(f"{p:6.9f}" for p in self.pops) + "\n"
+                f"{t:6.9f}\t" + "\t".join(f"{p:6.9f}" for p in pops) + "\n"
             )
             f.flush()
-        if self.bonddim is not None and self.config.adaptive:
+        if bonddim is not None and self.config.adaptive:
             f = self._dat(
                 "bonddim",
                 f"# time [{unit}]\t" + "\t".join(
-                    f"bond_{i}" for i in range(len(self.bonddim))
+                    f"bond_{i}" for i in range(len(bonddim))
                 ),
             )
             f.write(
                 f"{t:6.9f}\t"
-                + "\t".join(str(b) for b in self.bonddim) + "\n"
+                + "\t".join(str(b) for b in bonddim) + "\n"
             )
             f.flush()
-        if self.expectations and self.nstep % observables_per_step == 0:
+        if expectations and nstep % observables_per_step == 0:
             f = self._dat(
                 "expectations",
                 f"# time [{unit}]\t"
-                + "\t".join(self.expectations.keys()),
+                + "\t".join(expectations.keys()),
             )
             f.write(
                 f"{t:6.9f}\t"
-                + "\t".join(f"{v.real:6.9f}" for v in self.expectations.values())
+                + "\t".join(f"{v.real:6.9f}" for v in expectations.values())
                 + "\n"
             )
             f.flush()
@@ -309,6 +432,7 @@ class Properties:
         self.nstep += 1
 
     def close(self) -> None:
+        self.flush()
         for f in self._files.values():
             f.close()
         self._files.clear()

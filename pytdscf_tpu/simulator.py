@@ -137,9 +137,15 @@ class Simulator:
         tol_cmf: float = 1.0e-14,
         max_stepsize: float = 0.010,
         dtype: str | None = None,
+        fetch_stride: int | None = None,
     ) -> tuple[Any, WaveFunction]:
         dt_au = (Δt if Δt is not None else stepsize) / units.au_in_fs
         dtype_eff = dtype or self._auto_dtype()
+        if fetch_stride is None:
+            # accelerators pay a ~30 ms host round trip per property
+            # fetch; batch 8 steps into one (results are bit-identical,
+            # see Config.fetch_stride).  CPU syncs are free — keep 1.
+            fetch_stride = 1 if dtype_eff == "complex128" else 8
         if dtype_eff == "complex64" and thresh_sil < 1.0e-07:
             # f32 cannot resolve the default 1e-9 Krylov convergence test;
             # leaving it saturates every local update at max_krylov
@@ -167,6 +173,7 @@ class Simulator:
             cmf=cmf,
             tol_cmf=tol_cmf,
             max_stepsize=max_stepsize / units.au_in_fs,
+            fetch_stride=fetch_stride,
         )
         return self._execute(
             config,
@@ -561,6 +568,8 @@ class Simulator:
                 observables_per_step=observables_per_step,
             )
             if istep % backup_interval == backup_interval - 1:
+                # keep .dat rows consistent with the checkpoint on restart
+                props.flush()
                 self._save(engine, config.jobname, savefile_ext)
             if self.model.build_td_hamiltonian is not None:
                 engine.set_hamiltonian(
@@ -603,6 +612,7 @@ class Simulator:
                     f"[{config.display_time_unit}]  | {diag.report()}{kry}"
                 )
         logger.info(f"End simulation and save wavefunction | {diag.report()}")
+        props.flush()
         self._save(engine, config.jobname, savefile_ext)
         props.close()
         return props.energy, WaveFunction(engine, self.model)
