@@ -85,6 +85,19 @@ def _trim_dead_bonds(cores):
     return out
 
 
+@jax.jit
+def _live_bond_ranks(cores):
+    """Per-bond live-channel counts of a stacked (nsite, D, n, D) chain.
+
+    A channel is live when BOTH the left core's column and the right
+    core's row carry weight (the masked-adaptive zero-mask convention;
+    cf. ``_trim_dead_bonds``).  Entry p counts the bond (p, p+1); the
+    last entry is meaningless and dropped by the caller."""
+    colL = jnp.abs(cores).sum(axis=(1, 2)) > 0
+    rowR = jnp.roll(jnp.abs(cores).sum(axis=(2, 3)) > 0, -1, axis=0)
+    return jnp.sum(colL & rowR, axis=-1)
+
+
 def _norm_log(x):
     """(x/‖x‖, log‖x‖) — Frobenius-normalised with the scale as a log."""
     n = jnp.linalg.norm(x).real
@@ -308,6 +321,9 @@ class SPMDPITDVP:
         self._step_first = None
         self._step_later = None
         self._obs_cache: dict = {}
+        #: id(operator) → (operator, sharded padded MPO stack) for
+        #: in-mesh arbitrary-operator expectations
+        self._op_w_cache: dict = {}
 
     # -------------------------------------------------------------- step
     def propagate(
@@ -463,15 +479,66 @@ class SPMDPITDVP:
         return complex(v[istate])
 
     def expectation(self, operator=None) -> float:
-        """⟨H⟩/‖Ψ‖² with sites sharded over the chain axis; arbitrary
-        operators fall back to a gathered serial contraction."""
+        """⟨O⟩/‖Ψ‖² with sites sharded over the chain axis, for the
+        Hamiltonian or any fused-MPO operator (reference in-place MPI
+        expectations, ``_mps_parallel.py:855``).  Operators whose state
+        structure cannot ride the converted chain fall back to a gathered
+        serial contraction."""
         if operator is not None and operator is not self._orig_ham:
-            return self._gather_engine().expectation(operator)
+            Wop = self._operator_W(operator)
+            if Wop is None:
+                return self._gather_engine().expectation(operator)
+        else:
+            Wop = self.W
         fn = self._obs_fn("expectation")
-        re, im, n2 = fn(self.cores, self.W, self.sig)
+        re, im, n2 = fn(self.cores, Wop, self.sig)
         val = float(np.asarray(jax.device_get(re)).sum())
         den = float(np.asarray(jax.device_get(n2)).sum())
         return val / den
+
+    def _operator_W(self, operator):
+        """Sharded padded MPO stack for an arbitrary operator, matching
+        the (possibly state-to-site-converted, site-padded) chain layout;
+        None when the operator cannot be mapped (→ caller falls back)."""
+        key = id(operator)
+        hit = self._op_w_cache.get(key)
+        if hit is not None and hit[0] is operator:
+            return hit[1]
+        try:
+            if self._conv is not None:
+                from pytdscf_tpu.operators.state_to_site import (
+                    electronic_site_mpo,
+                )
+
+                ne = self._conv["nstate"]
+                if getattr(operator, "nstate", 1) != ne:
+                    return None
+                phys0 = self._conv["phys_dims"][1:]
+                fused_ms = operator.fused_mpo(phys0)
+                conv_op = electronic_site_mpo(
+                    fused_ms, ne,
+                    pad_sites=self._conv["pad_sites"],
+                    phys_pad=self.n,
+                )
+                fused = conv_op.fused_mpo([self.n] * self.nsite)
+            else:
+                if getattr(operator, "nstate", 1) != 1:
+                    return None
+                fused = operator.fused_mpo([self.n] * self.nsite)
+            Ws = fused[0][0]
+            if Ws is None or len(Ws) != self.nsite:
+                return None
+        except (NotImplementedError, ValueError, KeyError):
+            return None
+        from pytdscf_tpu.parallel.chain import pad_mpo
+
+        spec = NamedSharding(self.mesh, P(self.axis))
+        w = max(max(wc.shape[0], wc.shape[-1]) for wc in Ws)
+        Wop = (
+            jax.device_put(jnp.asarray(pad_mpo(Ws, w), self.dtype), spec),
+        )
+        self._op_w_cache[key] = (operator, Wop)
+        return Wop
 
     def to_numpy(self):
         """Checkpoint payload (user-level per-state core lists)."""
@@ -490,9 +557,17 @@ class SPMDPITDVP:
         return eng
 
     def bond_dims(self, istate: int = 0) -> list[int]:
-        """Bond dims: live ranks under adaptive (via a gather — the
-        zero-mask rank lives in the data), else the padded capacity."""
+        """Bond dims: live ranks under adaptive (in-mesh — the zero-mask
+        rank lives in the data, so one jitted count over the sharded core
+        stacks suffices; XLA inserts the one-site halo permute for the
+        cross-segment row check), else the padded capacity."""
+        if self.config.adaptive and self._conv is None:
+            live = _live_bond_ranks(self.cores[istate])
+            counts = np.asarray(jax.device_get(live))[:-1]
+            return [max(int(x), 1) for x in counts]
         if self.config.adaptive:
+            # converted chains report USER-level per-state bonds — those
+            # only exist on the de-converted chain (gather)
             out = self.to_serial_cores()
             states = [out] if self._flat_input else out
             return [int(c.shape[2]) for c in states[istate][:-1]]

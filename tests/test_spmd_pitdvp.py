@@ -139,6 +139,68 @@ def test_spmd_inmesh_site_rdm_matches_serial():
         )
 
 
+def test_spmd_inmesh_operator_expectation_matches_serial():
+    """Arbitrary-operator ⟨O⟩ rides the SAME in-mesh pipeline as ⟨H⟩
+    (reference in-place MPI expectations, ``_mps_parallel.py:855``) —
+    no gather of the chain."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    ham, cores = _model()
+    # total number operator Σ_s n_s as an independent fused-MPO operator
+    n_mat = Boson(NLEV).get_number_matrix()
+    pot = {
+        (s, s): TensorOperator(mpo=[n_mat[None, :, :, None]], legs=(s, s))
+        for s in range(NSITE)
+    }
+    ntot = TensorHamiltonian(NSITE, [[pot]], kinetic=None)
+
+    cfg = Config(jobname="opexp", thresh_exp=1e-10, conserve_norm=False)
+    mesh = make_mesh({"chain": 4})
+    par = SPMDPITDVP(list(cores), ham, cfg, mesh)
+    # in-mesh path must be taken (the MPO maps onto the chain layout)
+    assert par._operator_W(ntot) is not None
+    serial0 = TDVPEngine(
+        [list(cores)], ham, Config(jobname="opexp_chk0", thresh_exp=1e-10)
+    )
+    # plain boundary mode (step 0): exact up to f64 contraction roundoff
+    assert par.expectation(ntot) == pytest.approx(
+        serial0.expectation(ntot).real, abs=1e-09
+    )
+    for _ in range(2):
+        par.propagate(DT)
+    serial = TDVPEngine(
+        [right_canonicalize(par.to_serial_cores())], ham,
+        Config(jobname="opexp_chk", thresh_exp=1e-10),
+    )
+    # double mode inserts σ⁺ (Tikhonov, epsrho=1e-8) at odd boundaries —
+    # agreement with the gathered chain is at the regularisation order
+    assert par.expectation(ntot) == pytest.approx(
+        serial.expectation(ntot).real, abs=1e-06
+    )
+
+
+def test_spmd_inmesh_adaptive_bond_dims_match_gather():
+    """Adaptive live-rank bond_dims are counted in-mesh (zero-mask
+    channel counts over the sharded stacks) and must equal the ranks of
+    the gathered, dead-channel-trimmed serial chain."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    ham, cores = _model()
+    cfg = Config(
+        jobname="adim", thresh_exp=1e-10, conserve_norm=False,
+        adaptive=True, adaptive_Dmax=8, adaptive_dD=2,
+        adaptive_p_proj=1e-6, adaptive_p_svd=1e-8,
+    )
+    mesh = make_mesh({"chain": 4})
+    par = SPMDPITDVP(list(cores), ham, cfg, mesh)
+    for _ in range(2):
+        par.propagate(DT)
+    gathered = par.to_serial_cores()
+    gather_dims = [int(c.shape[2]) for c in gathered[:-1]]
+    assert par.bond_dims() == gather_dims
+    assert 1 <= max(gather_dims) <= 8
+
+
 def test_spmd_matches_inprocess_pitdvp():
     """The shard_map program implements the same algorithm as the in-process
     PITDVP.  The FIRST step is identical to machine precision (from a fresh
