@@ -65,6 +65,72 @@ def _make_kmatvec(pairs, Ls, Rs, shapes, nstate, dtype, facs=None, prec="highest
     return mv
 
 
+@jax.jit
+def _scan_ovlp_noconj(S, stack):
+    """Fold S through a stacked uniform run of unconjugated transfers
+    (the T/2-trick autocorrelation chain) in ONE scan program."""
+
+    def f(S_, c):
+        return K.ovlp_left_noconj(S_, c, c), None
+
+    return jax.lax.scan(f, S, stack)[0]
+
+
+@jax.jit
+def _scan_trace(S, stack, w):
+    """Fold the Liouville trace chain (vec(ρ) against vec(1)) through a
+    stacked uniform run in ONE scan program."""
+
+    def f(S_, c):
+        return jnp.einsum("lk,lnr,n->rk", S_, c, w), None
+
+    return jax.lax.scan(f, S, stack)[0]
+
+
+def _fold_chain(cores_list, S, site_fn, scan_fn, chunk, aux=None):
+    """Fold S through a core chain, scan-compiling uniform bulk runs.
+
+    Mirrors the sweep's fixed-chunk policy (``TDVPEngine._scan_runs``):
+    every distinct scan LENGTH compiles its own XLA program, so runs are
+    emitted as ``chunk``-sized pieces plus at most one half-chunk; edges
+    and remainders use the per-site kernel.  Identical math either way —
+    this only collapses O(nsite) per-step dispatches for long chains.
+
+    ``aux``: optional per-site constant (e.g. a trace weight vector);
+    it must be shape-determined by the core shape, so one value serves a
+    whole run.  ``site_fn(S, core, aux_p)`` / ``scan_fn(S, stack, aux_p)``."""
+    p, n = 0, len(cores_list)
+    a_of = (lambda q: ()) if aux is None else (lambda q: (aux[q],))
+    while p < n:
+        sh = cores_list[p].shape
+        run = 0
+        if sh[0] == sh[2]:
+            m = p
+            while m + 1 < n and cores_list[m + 1].shape == sh:
+                m += 1
+            run = m - p + 1
+        emitted = False
+        while run >= chunk:
+            S = scan_fn(S, K.stack_leading(cores_list[p:p + chunk]), *a_of(p))
+            p += chunk
+            run -= chunk
+            emitted = True
+        half = chunk // 2
+        if half >= 4 and run >= half:
+            S = scan_fn(S, K.stack_leading(cores_list[p:p + half]), *a_of(p))
+            p += half
+            run -= half
+            emitted = True
+        if not emitted or run:
+            # per-site mop-up: the remainder of a run, or a site that
+            # never started one
+            stop = max(p + run, p + 1)
+            for q in range(p, stop):
+                S = site_fn(S, cores_list[q], *a_of(q))
+            p = stop
+    return S
+
+
 def _normalize_block(B):
     """(B̂, log‖B‖) — environment blocks are kept at unit Frobenius norm
     with the scale carried as a log (float32/complex64 chains of hundreds
@@ -1565,10 +1631,18 @@ class TDVPEngine:
         if autocorr:
             for i in range(self.nstate):
                 S = dio.ones((1, 1), self.dtype)
-                for p in range(self.nsite):
-                    S = K.ovlp_left_noconj(
-                        S, self.cores[i][p], self.cores[i][p]
+                if self.config.scan_sweep:
+                    S = _fold_chain(
+                        self.cores[i], S,
+                        lambda S_, c: K.ovlp_left_noconj(S_, c, c),
+                        _scan_ovlp_noconj,
+                        max(int(self.config.scan_chunk), 4),
                     )
+                else:
+                    for p in range(self.nsite):
+                        S = K.ovlp_left_noconj(
+                            S, self.cores[i][p], self.cores[i][p]
+                        )
                 items.append(S)
             plan.append(("autocorr", self.nstate))
         if populations or (norm and not liouville):
@@ -1577,10 +1651,28 @@ class TDVPEngine:
             plan.append(("pops", self.nstate))
         if norm and liouville:
             S = dio.ones((1, 1), self.dtype)
-            for p in range(self.nsite):
-                d = int(math.isqrt(self.phys_dims[p]))
-                w = dio.put(np.eye(d).reshape(-1), self.dtype)
-                S = dio.jeinsum("lk,lnr,n->rk", S, self.cores[0][p], w)
+            ws = [
+                dio.put(
+                    np.eye(int(math.isqrt(self.phys_dims[p]))).reshape(-1),
+                    self.dtype,
+                )
+                for p in range(self.nsite)
+            ]
+            if self.config.scan_sweep:
+                # the trace weight is shape-uniform inside a scan run (the
+                # run signature includes the physical dimension)
+                S = _fold_chain(
+                    self.cores[0], S,
+                    lambda S_, c, w: dio.jeinsum("lk,lnr,n->rk", S_, c, w),
+                    _scan_trace,
+                    max(int(self.config.scan_chunk), 4),
+                    aux=ws,
+                )
+            else:
+                for p in range(self.nsite):
+                    S = dio.jeinsum(
+                        "lk,lnr,n->rk", S, self.cores[0][p], ws[p]
+                    )
             items.append(S)
             plan.append(("trace", 1))
         return items, plan

@@ -540,6 +540,135 @@ class SPMDPITDVP:
         self._op_w_cache[key] = (operator, Wop)
         return Wop
 
+    # ------------------------------------------- batched property fetches
+    def fetch_real_dtype(self):
+        """Real dtype for packed host fetches (``device_io.fetch_many``)."""
+        return jnp.float32 if self.dtype == jnp.complex64 else jnp.float64
+
+    def properties_submit(
+        self,
+        operator=None,
+        *,
+        autocorr: bool = True,
+        energy: bool = True,
+        norm: bool = True,
+        populations: bool = True,
+    ) -> tuple[list, list]:
+        """Dispatch the requested in-mesh observables; NO host sync.
+
+        The SPMD counterpart of ``mps/tdvp.py:properties_submit`` — all
+        pipelines run as sharded collective programs and only the final
+        per-state scalars are queued for one packed fetch (the driver
+        batches several steps via ``Config.fetch_stride``)."""
+        liouville = self.config.space == "liouville"
+        items: list = []
+        plan: list = []
+        if energy:
+            if operator is None or operator is self._orig_ham:
+                Wop = self.W
+            else:
+                Wop = self._operator_W(operator)
+                if Wop is None:
+                    raise ValueError(
+                        "operator cannot be mapped onto the converted "
+                        "chain; use expectation() (gather fallback)"
+                    )
+            fn = self._obs_fn("expectation")
+            re, _, n2 = fn(self.cores, Wop, self.sig)
+            items += [re, n2]
+            plan.append(("energy", 1))
+        if autocorr:
+            fn = self._obs_fn("autocorr")
+            re, im = fn(self.cores, self.sig)
+            items += [re, im]
+            plan.append(("autocorr", 1))
+        if populations or (norm and not liouville):
+            if self._conv is not None:
+                fn = self._obs_fn("elec_pops", ne=self._conv["nstate"])
+            else:
+                fn = self._obs_fn("norm2")
+            items.append(fn(self.cores, self.sig))
+            plan.append(("pops", 1))
+        if norm and liouville:
+            fn = self._obs_fn("trace")
+            re, im = fn(self.cores, self.sig)
+            items += [re, im]
+            plan.append(("trace", 1))
+        return items, plan
+
+    def properties_resolve(
+        self,
+        vals: list,
+        plan: list,
+        *,
+        norm: bool = True,
+        populations: bool = True,
+    ) -> dict:
+        """Decode fetched values from :meth:`properties_submit`."""
+        import math
+
+        liouville = self.config.space == "liouville"
+        out: dict = {}
+        k = 0
+        pops = None
+        for kind, _ in plan:
+            if kind == "energy":
+                re, n2 = vals[k], vals[k + 1]
+                k += 2
+                out["energy"] = complex(
+                    float(np.real(np.sum(re))) / float(np.real(np.sum(n2)))
+                )
+            elif kind == "autocorr":
+                re, im = vals[k], vals[k + 1]
+                k += 2
+                out["autocorr"] = complex(
+                    float(np.sum(np.real(re)))
+                    + 1j * float(np.sum(np.real(im)))
+                )
+            elif kind == "pops":
+                pops = [
+                    float(np.real(x)) for x in np.atleast_1d(vals[k])
+                ]
+                k += 1
+            elif kind == "trace":
+                re, im = vals[k], vals[k + 1]
+                k += 2
+                re0 = float(np.atleast_1d(np.real(re))[0])
+                im0 = float(np.atleast_1d(np.real(im))[0])
+                out["trace"] = complex(re0 + 1j * im0)
+        if populations:
+            out["populations"] = pops
+        if norm:
+            out["norm"] = (
+                abs(out["trace"]) if liouville
+                else float(math.sqrt(sum(pops)))
+            )
+        return out
+
+    def properties_bundle(
+        self,
+        operator=None,
+        *,
+        autocorr: bool = True,
+        energy: bool = True,
+        norm: bool = True,
+        populations: bool = True,
+    ) -> dict:
+        """Requested per-step observables with ONE device→host sync."""
+        from pytdscf_tpu.mps import device_io as dio
+
+        items, plan = self.properties_submit(
+            operator,
+            autocorr=autocorr,
+            energy=energy,
+            norm=norm,
+            populations=populations,
+        )
+        vals = dio.fetch_many(items, self.fetch_real_dtype())
+        return self.properties_resolve(
+            vals, plan, norm=norm, populations=populations
+        )
+
     def to_numpy(self):
         """Checkpoint payload (user-level per-state core lists)."""
         return self.to_serial_cores()

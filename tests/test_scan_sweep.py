@@ -64,6 +64,112 @@ def test_scan_sweep_parity():
         )
 
 
+def test_scan_folded_property_chains_parity():
+    """The per-step autocorr (and Liouville trace) chains scan-compile
+    under Config.scan_sweep (``tdvp._fold_chain``) and must reproduce the
+    per-site fold to numerical identity."""
+    ref = _build(scan=False)
+    scn = _build(scan=True)
+    for _ in range(2):
+        ref.propagate(0.2)
+        scn.propagate(0.2)
+    b_ref = ref.properties_bundle(ref.hamiltonian)
+    b_scn = scn.properties_bundle(scn.hamiltonian)
+    assert b_scn["autocorr"] == pytest.approx(b_ref["autocorr"], abs=1e-12)
+    assert b_scn["energy"].real == pytest.approx(
+        b_ref["energy"].real, abs=1e-10
+    )
+
+    # Liouville trace chain: a small radical-pair MPDO (the trace fold
+    # rides _scan_trace under scan_sweep)
+    from pytdscf_tpu.model import Model
+    from pytdscf_tpu.models.radical_pair import (
+        radical_pair_liouvillian,
+        singlet_product_state,
+    )
+
+    # 6 spin-½ nuclei on radical 1 → a uniform d=4 bulk long enough for
+    # the trace fold's scan chunks to actually fire
+    basis, mpo, ele_site = radical_pair_liouvillian(
+        hfcs_1=[(2, 0.3 + 0.05 * k) for k in range(6)],
+        hfcs_2=[(3, 0.5)],
+    )
+    model = Model(basis, {"hamiltonian": mpo}, space="liouville", bond_dim=8)
+    vecs = singlet_product_state(basis, ele_site)
+    cores = alloc_hartree_product([b.nprim for b in basis], 8, vecs)
+    trace_ref = None
+    for scan in (False, True):
+        cfg = Config(
+            jobname=f"tr{scan}", space="liouville", integrator="arnoldi",
+            conserve_norm=False, scan_sweep=scan, scan_chunk=4,
+            thresh_exp=1e-08,
+        )
+        eng = TDVPEngine([list(cores)], model.hamiltonian, cfg)
+        eng.propagate(0.5)
+        out = eng.properties_bundle(
+            model.hamiltonian, autocorr=False, populations=False
+        )
+        if scan:
+            assert out["trace"] == pytest.approx(trace_ref, abs=1e-12)
+        else:
+            trace_ref = out["trace"]
+
+
+def test_fold_chain_unit():
+    """_fold_chain emits chunk / half-chunk / per-site pieces whose
+    composition is identical to the plain per-site fold, with and
+    without per-site aux constants."""
+    import jax.numpy as jnp
+
+    from pytdscf_tpu.mps.tdvp import _fold_chain, _scan_ovlp_noconj
+
+    rng = np.random.default_rng(7)
+
+    def core(l, n, r):
+        return jnp.asarray(
+            rng.normal(size=(l, n, r)) + 1j * rng.normal(size=(l, n, r))
+        )
+
+    # ramp + uniform run of 11 (chunk 4 → 2 chunks + half + 1 per-site)
+    chain = [core(1, 3, 5)] + [core(5, 3, 5) for _ in range(11)] + [
+        core(5, 2, 5), core(5, 3, 1)
+    ]
+    S0 = jnp.ones((1, 1), chain[0].dtype)
+    ref = S0
+    for c in chain:
+        ref = np.einsum("lk,lnr,kns->rs", ref, c, c)
+    got = _fold_chain(
+        chain, S0,
+        lambda S_, c: jnp.einsum("lk,lnr,kns->rs", S_, c, c),
+        lambda S_, st: _scan_ovlp_noconj(S_, st),
+        4,
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-12)
+
+    # aux variant: per-site weight vectors folding a trace-like chain
+    from pytdscf_tpu.mps.tdvp import _scan_trace
+
+    chain2 = [core(1, 4, 6)] + [core(6, 4, 6) for _ in range(9)] + [
+        core(6, 4, 1)
+    ]
+    # aux contract: one value per core SHAPE (a run shares its first
+    # site's aux) — exactly how the trace weights behave
+    w4 = jnp.asarray(rng.normal(size=(4,)) + 0j)
+    ws = [w4 for _ in chain2]
+    S0 = jnp.ones((1, 1), chain2[0].dtype)
+    ref2 = S0
+    for c, w in zip(chain2, ws):
+        ref2 = np.einsum("lk,lnr,n->rk", ref2, c, w)
+    got2 = _fold_chain(
+        chain2, S0,
+        lambda S_, c, w: jnp.einsum("lk,lnr,n->rk", S_, c, w),
+        _scan_trace,
+        4,
+        aux=ws,
+    )
+    np.testing.assert_allclose(np.asarray(got2), ref2, rtol=1e-12)
+
+
 def test_scan_sweep_relax_modes():
     """Scan path in imaginary-time relaxation also matches."""
     ref = _build(scan=False)

@@ -113,6 +113,25 @@ def test_simulator_parallel_matches_serial(tmp_path):
     )
 
 
+def test_simulator_parallel_fetch_stride_rows_identical(tmp_path):
+    """Deferred multi-step property fetches under the SPMD parallel
+    driver (the in-mesh observables are submitted per step and resolved
+    in one packed fetch): rows must be bit-identical to stride 1."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    os.chdir(tmp_path)
+    for name, stride in (("fs1", 1), ("fs3", 3)):
+        Simulator(name, _model(), verbose=0).propagate(
+            stepsize=0.2, maxstep=5, loadfile_ext="", autocorr=True,
+            parallel_split_indices=[(0, 1), (2, 3)], fetch_stride=stride,
+        )
+    for name in ("autocorr", "populations"):
+        a = open(f"fs1_prop/{name}.dat").read()
+        b = open(f"fs3_prop/{name}.dat").read()
+        assert a == b, name
+        assert len(a.strip().splitlines()) == 1 + 5
+
+
 def test_simulator_parallel_bad_split_raises(tmp_path):
     os.chdir(tmp_path)
     sim = Simulator("bad", _model(), verbose=0)
