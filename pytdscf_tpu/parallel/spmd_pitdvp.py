@@ -773,7 +773,43 @@ class SPMDPITDVP:
             if remain_nleg[kept[0]] == 1:
                 out = np.einsum("aa...->a...", out)
             return out
-        return self._gather_engine().reduced_density(remain_nleg, istate)
+        # in-mesh N-site RDM (ride-along batch opens legs at every
+        # intermediate kept site) — plain and converted chains alike
+        if self._conv is not None:
+            dims = self._conv["phys_dims"]
+            gkept = [p + 1 for p in kept]
+            fn = self._obs_fn(
+                "site_rdmn", nkept=len(kept), kept_sites=tuple(gkept),
+                istate=0, wstate=istate,
+            )
+        else:
+            dims = None
+            gkept = list(kept)
+            fn = self._obs_fn(
+                "site_rdmn", nkept=len(kept), kept_sites=tuple(gkept),
+                istate=istate,
+            )
+        re, im = fn(self.cores, self.sig)
+        out = (
+            np.asarray(jax.device_get(re))
+            + 1j * np.asarray(jax.device_get(im))
+        )
+        if dims is not None:
+            # converted chains pad every site to the stacked width n —
+            # slice each kept leg pair back to its physical dimension
+            out = out[tuple(
+                slice(0, dims[g]) for g in gkept for _ in range(2)
+            )]
+        # diagonal extraction for nleg == 1 kept sites (right to left)
+        ax = 0
+        for p in kept:
+            if remain_nleg[p] == 1:
+                out = np.diagonal(out, axis1=ax, axis2=ax + 1)
+                out = np.moveaxis(out, -1, ax)
+                ax += 1
+            else:
+                ax += 2
+        return out
 
     def reduced_density_liouville(
         self, remain_nleg: tuple[int, ...], istate: int = 0
@@ -1842,6 +1878,194 @@ def _build_observable(
             # rho4[ket_p, bra_p, ket_q, bra_q] (serial leg order)
             rho4 = jax.lax.psum(rho4, axis)
             return rho4.real, rho4.imag
+
+        spec_in = ((P(axis),) * nstate, (P(axis),) * nstate)
+        return jax.jit(_shard_map(
+            local, mesh=mesh, in_specs=spec_in, out_specs=(P(), P()),
+            check_vma=False,
+        ))
+
+    if kind == "site_rdmn":
+        # Hilbert-space N-site RDM ρ[ket_1, bra_1, …, ket_N, bra_N] at
+        # global sites kept_sites[0] < … < kept_sites[-1], fully in-mesh.
+        # Generalises ``site_rdm2``: the middle ride-along batch axis
+        # OPENS another (ket, bra) leg pair at every intermediate kept
+        # site.  Because ``kept_sites`` is static, the batch size follows
+        # a static schedule (n² after the first kept site, ×n² per
+        # intermediate one) — each device segment is python-split at its
+        # kept slots so every ``lax.scan`` runs at one static batch
+        # width.  Matches the serial engine's leg order
+        # (``mps/tdvp.py:reduced_density``); zero host-side gather.
+        # Reference computes these by multi-round tagged MPI ptp
+        # (``/root/reference/pytdscf/_mps_parallel.py:1035-1209``).
+        kept = tuple(kept_sites)
+        p_glob, q_glob = kept[0], kept[-1]
+        mids = kept[1:-1]
+        pd, pt = divmod(p_glob, m)
+        qd, qt = divmod(q_glob, m)
+        rq = qd - pd  # static: devices the middle pass crosses
+
+        def local(cores, sigs):
+            idx = jax.lax.axis_index(axis)
+            sig_own = tuple(s[0] for s in sigs)
+            X = x_of(sig_own, idx, istate)
+            dtype = cores[istate].dtype
+            to_right = [(i_, (i_ + 1) % Pn) for i_ in range(Pn)]
+            to_left = [(i_, (i_ - 1) % Pn) for i_ in range(Pn)]
+            e = jnp.zeros((D, D), dtype).at[0, 0].set(1.0)
+            z = jnp.asarray(0.0, cores[istate].real.dtype)
+            ts = jnp.arange(m)
+            # optional |wstate⟩⟨wstate| projector at global site 0 (the
+            # electronic site of a state-to-site-converted chain)
+            wvs = jnp.where(
+                ((idx * m + ts) == 0)[:, None] & (wstate >= 0),
+                (jnp.arange(n) == wstate).astype(jnp.float32)[None, :],
+                jnp.ones((1, n), jnp.float32),
+            )
+
+            # ---- left chain, capture before site (pd, pt)
+            S, lg = e, z
+            capL, clgL = e, z
+            for r in range(Pn):
+                S2 = jnp.einsum(
+                    "bk,bo,kp->op", S, X.conj(), X, precision=PREC
+                )
+                S2, dl = _norm_log(S2)
+                lg2 = lg + dl
+                cap_round = (idx == r) & (idx == pd)
+
+                def siteL(carry, cw):
+                    S_, l_, cS, cl = carry
+                    c, t, wv = cw
+                    hit = cap_round & (t == pt)
+                    cS = jnp.where(hit, S_, cS)
+                    cl = jnp.where(hit, l_, cl)
+                    nS = jnp.einsum(
+                        "bk,bno,n,knp->op", S_, c.conj(),
+                        wv.astype(c.dtype), c, precision=PREC,
+                    )
+                    nS, d_ = _norm_log(nS)
+                    return (nS, l_ + d_, cS, cl), None
+
+                (S3, lg3, capL, clgL), _ = jax.lax.scan(
+                    siteL, (S2, lg2, capL, clgL), (cores[istate], ts, wvs)
+                )
+                S = jax.lax.ppermute(S3, axis, to_right)
+                lg = jax.lax.ppermute(lg3, axis, to_right)
+
+            # ---- right chain, capture after site (qd, qt)
+            S, lg = e, z
+            capR, clgR = e, z
+            for r in range(Pn):
+                cap_round = (idx == (Pn - 1 - r)) & (idx == qd)
+
+                def siteR(carry, cw):
+                    S_, l_, cS, cl = carry
+                    c, t = cw
+                    hit = cap_round & (t == qt)
+                    cS = jnp.where(hit, S_, cS)
+                    cl = jnp.where(hit, l_, cl)
+                    nS = jnp.einsum(
+                        "bno,knp,op->bk", c.conj(), c, S_,
+                        precision=PREC,
+                    )
+                    nS, d_ = _norm_log(nS)
+                    return (nS, l_ + d_, cS, cl), None
+
+                (S2, lg2, capR, clgR), _ = jax.lax.scan(
+                    siteR, (S, lg, capR, clgR),
+                    (cores[istate][::-1], ts[::-1]),
+                )
+                ins = jnp.einsum(
+                    "bo,bk,pk->op", X.conj(), S2, X, precision=PREC
+                )
+                ins, dl = _norm_log(ins)
+                S = jax.lax.ppermute(ins, axis, to_left)
+                lg = jax.lax.ppermute(lg2 + dl, axis, to_left)
+
+            # ---- middle ride-along with leg openings at ``mids``
+            cp = cores[istate][pt]
+            M0 = jnp.einsum(
+                "bk,bno,kmp->mnop", capL, cp.conj(), cp, precision=PREC
+            ).reshape(n * n, D, D)
+            M = jnp.where(idx == pd, M0, jnp.zeros_like(M0))
+            M, dl0 = _norm_log(M)
+            lgM = jnp.where(idx == pd, clgL + dl0, z)
+            shape_out = (n,) * (2 * len(kept))
+            rho = jnp.zeros(shape_out, dtype)
+
+            def transfer_seg(M, lgM, active, t0, t1):
+                """Traced double-layer transfer over local slots
+                [t0, t1); only slots strictly inside (p, q) on the
+                active device apply (inactive devices carry garbage of
+                the right shape until they receive via ppermute)."""
+                if t1 <= t0:
+                    return M, lgM
+
+                def siteM(carry, cw):
+                    M_, l_ = carry
+                    c, t = cw
+                    g = idx * m + t
+                    apply = active & (g > p_glob) & (g < q_glob)
+                    nM = jnp.einsum(
+                        "xop,ojc,pjq->xcq", M_, c.conj(), c,
+                        precision=PREC,
+                    )
+                    nM = jnp.where(apply, nM, M_)
+                    nM, d_ = _norm_log(nM)
+                    return (nM, l_ + d_), None
+
+                (M, lgM), _ = jax.lax.scan(
+                    siteM, (M, lgM), (cores[istate][t0:t1], ts[t0:t1])
+                )
+                return M, lgM
+
+            for s in range(rq + 1):
+                dev = pd + s
+                active = idx == dev
+                if s > 0:
+                    # crossed a device boundary: its own-left insertion
+                    Mx = jnp.einsum(
+                        "xop,oa,pb->xab", M, X.conj(), X, precision=PREC
+                    )
+                    Mx, dlx = _norm_log(Mx)
+                    M = jnp.where(active, Mx, M)
+                    lgM = lgM + jnp.where(active, dlx, z)
+                # static split of this device's slots at ITS kept mids
+                local_mids = sorted(
+                    kk - dev * m for kk in mids
+                    if dev * m <= kk < (dev + 1) * m
+                )
+                t0 = 0
+                for tm in local_mids:
+                    M, lgM = transfer_seg(M, lgM, active, t0, tm)
+                    # open (ket, bra) legs at slot tm — batch ×n²;
+                    # shape growth is program-uniform (static schedule)
+                    cm = cores[istate][tm]
+                    Mo = jnp.einsum(
+                        "xop,onc,pmq->xmncq", M, cm.conj(), cm,
+                        precision=PREC,
+                    ).reshape(M.shape[0] * n * n, D, D)
+                    Mo, dlo = _norm_log(Mo)
+                    M = Mo
+                    lgM = lgM + jnp.where(active, dlo, z)
+                    t0 = tm + 1
+                M, lgM = transfer_seg(M, lgM, active, t0, m)
+                if s == rq:
+                    cq = cores[istate][qt]
+                    close = jnp.einsum(
+                        "xop,onc,pmq,cq->xmn", M, cq.conj(), cq, capR,
+                        precision=PREC,
+                    )
+                    scl = jnp.exp(lgM + clgR).astype(dtype)
+                    close = (close * scl).reshape(shape_out)
+                    rho = jnp.where(idx == qd, close, rho)
+                else:
+                    M = jax.lax.ppermute(M, axis, to_right)
+                    lgM = jax.lax.ppermute(lgM, axis, to_right)
+            # ρ[ket_1, bra_1, …] (serial leg order)
+            rho = jax.lax.psum(rho, axis)
+            return rho.real, rho.imag
 
         spec_in = ((P(axis),) * nstate, (P(axis),) * nstate)
         return jax.jit(_shard_map(

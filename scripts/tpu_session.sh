@@ -22,9 +22,13 @@ float((x @ x)[0, 0])
 print("tunnel ok")
 EOF
 
-# 1. CholeskyQR microbench: inverse (default) vs solve body
+# 1. CholeskyQR microbench: inverse (default) vs solve body vs 2 rounds
 run python scripts/microbench_chqr.py
 run PYTDSCF_CHQR_SOLVE=1 python scripts/microbench_chqr.py
+run PYTDSCF_CHQR_ITERS=2 python scripts/microbench_chqr.py
+
+# 1b. chi=1024 with 2-round CholeskyQR (populations must match run 2)
+run BENCH_STEPS=10 PYTDSCF_CHQR_ITERS=2 python bench_chi.py
 
 # 2. chi=1024 north star, CHQR-inverse only
 run BENCH_STEPS=10 python bench_chi.py

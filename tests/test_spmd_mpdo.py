@@ -169,7 +169,12 @@ def test_spmd_multistate_tracks_serial():
     # the electronic site) track the serial engine's per-state RDMs —
     # zero host-side gather
     for ist in (0, 1):
-        for legs in ((2,), (0, 2), (2, 0, 2), (1, 2)):
+        for legs in (
+            (2,), (0, 2), (2, 0, 2), (1, 2),
+            # ≥3 kept sites: the ride-along batch opens legs at every
+            # intermediate kept DOF (``site_rdmn``, converted chain)
+            (2, 2, 2), (2, 0, 2, 2), (1, 2, 0, 2),
+        ):
             rho_p = par.reduced_density(legs, istate=ist)
             rho_s = np.asarray(serial.reduced_density(legs, ist))
             np.testing.assert_allclose(rho_p, rho_s, atol=5e-4)

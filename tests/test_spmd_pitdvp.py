@@ -139,6 +139,45 @@ def test_spmd_inmesh_site_rdm_matches_serial():
         )
 
 
+def test_spmd_inmesh_multisite_rdm_matches_serial():
+    """In-mesh N-site (≥3) Hilbert RDMs: the ride-along batch opens a
+    (ket, bra) pair at every intermediate kept site.  Cases cover all
+    kept sites on one device, mids on crossing devices, boundary-adjacent
+    mid/q, four kept sites, and mixed diagonal legs — each against the
+    gathered serial engine (zero host gather in the mesh path)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    ham, cores = _model()
+    cfg = Config(jobname="rdmn", thresh_exp=1e-10, conserve_norm=False)
+    mesh = make_mesh({"chain": 4})
+    par = SPMDPITDVP(list(cores), ham, cfg, mesh)
+    for _ in range(2):
+        par.propagate(DT)
+    chk = TDVPEngine(
+        [right_canonicalize(par.to_serial_cores())], ham,
+        Config(jobname="chk3", thresh_exp=1e-10),
+    )
+    for kept in ((0, 1, 2), (1, 6, 11), (2, 7, 8), (0, 5, 10, 15)):
+        legs = [0] * NSITE
+        for p in kept:
+            legs[p] = 2
+        legs = tuple(legs[: kept[-1] + 1])
+        rho_mesh = par.reduced_density(legs)
+        rho_ser = np.asarray(chk.reduced_density(legs))
+        np.testing.assert_allclose(rho_mesh, rho_ser, atol=1e-8)
+    # mixed nleg: diagonal at the first and last kept site
+    legs = [0] * NSITE
+    legs[1], legs[6], legs[11] = 1, 2, 1
+    legs = tuple(legs[:12])
+    mixed = par.reduced_density(legs)
+    full = np.asarray(chk.reduced_density(
+        tuple(2 if x == 1 else x for x in legs)
+    ))
+    np.testing.assert_allclose(
+        mixed, np.einsum("aabcdd->abcd", full), atol=1e-8
+    )
+
+
 def test_spmd_inmesh_operator_expectation_matches_serial():
     """Arbitrary-operator ⟨O⟩ rides the SAME in-mesh pipeline as ⟨H⟩
     (reference in-place MPI expectations, ``_mps_parallel.py:855``) —
