@@ -29,6 +29,10 @@ Env knobs:
   BENCH_SPLIT   — 1: one 4-dim site per electron spin (the χ≥2048 TN
                   layout; a 16-dim pair site's (χ,16,w,χ) env transfer
                   transient alone is 2 GB at χ=2048)
+  BENCH_RELAX   — 1: relaxed (inexact) Krylov — iterations ≥ 2 at a
+                  single planar-bf16 pass (Config.krylov_relaxed)
+  BENCH_PALLAS  — 1: route the relaxed matvec through the pallas-fused
+                  VMEM-resident chain kernel (needs BENCH_RELAX=1)
 """
 
 from __future__ import annotations
@@ -136,6 +140,7 @@ def main() -> None:
         env_precision=os.environ.get("BENCH_EPREC", prec),
         scan_sweep=os.environ.get("BENCH_SCAN", "1") != "0",
         krylov_relaxed=os.environ.get("BENCH_RELAX", "0") != "0",
+        pallas_matvec=os.environ.get("BENCH_PALLAS", "0") != "0",
     )
     engine = TDVPEngine([cores], model.hamiltonian, config)
     t0 = time.time()

@@ -62,10 +62,18 @@ class Config:
     #: expansion coefficients (van den Eshof & Hochbruck relaxation), so
     #: the result stays within the integrator threshold while the
     #: dominant large-χ cost — the Krylov matvec tail — runs ~3× faster
-    #: on the MXU.  Exact on CPU (precision flags are no-ops there).
+    #: on the MXU.  The relaxed matvec runs genuine planar-bf16 kernels on
+    #: every backend (operands AND chain intermediates in bfloat16 — also
+    #: halves their HBM traffic), so CPU runs emulate the TPU numerics.
     #: Honored by the fixed-rank serial sweep and both chain-parallel
     #: engines; the adaptive (a1TDVP) sweeps always run full precision.
     krylov_relaxed: bool = False
+    #: Route the relaxed matvec through the pallas-fused TPU kernel
+    #: (``mps/pallas_matvec.py``): the whole L·W·R·ψ chain stays in VMEM,
+    #: eliminating the two (χ,d,χ,w) HBM intermediates.  Applies to sites
+    #: whose bonds divide the 128-tile grid (edges fall back to the planar
+    #: einsum path).  Requires ``krylov_relaxed=True`` to have any effect.
+    pallas_matvec: bool = False
     #: Fixed scan-run chunk length: every distinct scan length compiles
     #: its own XLA program, so uniform runs are cut into scan_chunk-sized
     #: pieces sharing one compilation (remainders go per-site).

@@ -248,6 +248,123 @@ def keff_apply(
     )
 
 
+# ------------------------------------------------- relaxed (planar bf16)
+# The relaxed-Krylov low-precision matvec (iterations ≥ relax_after) as an
+# explicitly planar real-imaginary bf16 chain.  vs a prec="default" complex
+# einsum this keeps the SAME single-pass MXU work (a complex product is the
+# same 4 real matmuls either way) but stores operands AND the two big chain
+# intermediates (the (χ,d,χ,w) tensors — 2×256 MB at χ=1024) in bfloat16,
+# roughly halving the HBM traffic that dominates the single-pass regime.
+# The builders below pre-split the loop-constant L/W/R once OUTSIDE the
+# Krylov ``while_loop`` so the casts never re-execute per iteration.
+def planar_bf16(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Complex array → (re, im) bfloat16 planes."""
+    return x.real.astype(jnp.bfloat16), x.imag.astype(jnp.bfloat16)
+
+
+def _cx_einsum(eq, a, b, out_dtype=jnp.bfloat16):
+    """Complex einsum on planar pairs: 4 real bf16 passes, f32 accumulate,
+    ``out_dtype`` storage (bf16 keeps chain intermediates half-width)."""
+    f32 = jnp.float32
+    (ar, ai), (br, bi) = a, b
+    re = jnp.einsum(eq, ar, br, preferred_element_type=f32) - jnp.einsum(
+        eq, ai, bi, preferred_element_type=f32
+    )
+    im = jnp.einsum(eq, ar, bi, preferred_element_type=f32) + jnp.einsum(
+        eq, ai, br, preferred_element_type=f32
+    )
+    return re.astype(out_dtype), im.astype(out_dtype)
+
+
+def heff_apply_lo(Lp, Wp, Rp, psi: jax.Array) -> jax.Array:
+    """Single-bf16-pass H_eff matvec with planar operands/intermediates.
+
+    ``Lp``/``Wp``/``Rp``: ``planar_bf16`` pairs of the blocks (pre-split by
+    the caller, outside the Krylov loop).  Contraction order matches the
+    exact kernel: ψ·R (over r) → ·W (over j,c) → ·L (over a,k)."""
+    psip = planar_bf16(psi)
+    t1 = _cx_einsum("kjr,xcr->kjxc", psip, Rp)
+    t2 = _cx_einsum("kjxc,aijc->kiax", t1, Wp)
+    sr, si = _cx_einsum("kiax,bak->bix", t2, Lp, out_dtype=jnp.float32)
+    return jax.lax.complex(sr, si).astype(psi.dtype)
+
+
+def keff_apply_lo(Lp, Rp, sig: jax.Array) -> jax.Array:
+    """Single-bf16-pass K_eff matvec (see :func:`heff_apply_lo`)."""
+    sigp = planar_bf16(sig)
+    t1 = _cx_einsum("kr,xar->kxa", sigp, Rp)
+    sr, si = _cx_einsum("kxa,bak->bx", t1, Lp, out_dtype=jnp.float32)
+    return jax.lax.complex(sr, si).astype(sig.dtype)
+
+
+def make_hmatvec_lo(pairs, Ls, Ws, Rs, shapes, dtype, facs=None,
+                    use_pallas=False):
+    """Relaxed low-precision H_eff matvec over stacked electronic states.
+
+    Pre-splits every loop-constant block to bf16 planes at closure-build
+    (trace) time — guaranteed outside the ``lax.while_loop`` body.  With
+    ``use_pallas``, pairs whose bonds divide the kernel tile grid route
+    through the pallas-fused chain (``mps/pallas_matvec.py``); others fall
+    back to the planar einsum path."""
+    from pytdscf_tpu.mps import pallas_matvec as PM
+
+    ops = []
+    for (i, j), L, W, R in zip(pairs, Ls, Ws, Rs):
+        if use_pallas and PM.heff_shapes_ok(L, W, R, shapes[j]):
+            ops.append(("pallas", PM.heff_operands(L, W, R)))
+        else:
+            ops.append(
+                ("einsum", (planar_bf16(L), planar_bf16(W), planar_bf16(R)))
+            )
+
+    def mv(vec):
+        psis = split_states(vec, shapes)
+        sigs = [jnp.zeros(sh, dtype) for sh in shapes]
+        for q, ((i, j), (kind, op)) in enumerate(zip(pairs, ops)):
+            if kind == "pallas":
+                lt, wb, rt = op
+                term = PM.heff_pallas(lt, wb, rt, psis[j])
+            else:
+                lp, wp, rp = op
+                term = heff_apply_lo(lp, wp, rp, psis[j])
+            if facs is not None:
+                term = term * facs[q].astype(dtype)
+            sigs[i] = sigs[i] + term
+        return stack_states(sigs)
+
+    return mv
+
+
+def make_kmatvec_lo(pairs, Ls, Rs, shapes, dtype, facs=None,
+                    use_pallas=False):
+    """Relaxed low-precision K_eff matvec (see :func:`make_hmatvec_lo`)."""
+    from pytdscf_tpu.mps import pallas_matvec as PM
+
+    ops = []
+    for (i, j), L, R in zip(pairs, Ls, Rs):
+        if use_pallas and PM.keff_shapes_ok(L, R, shapes[j]):
+            ops.append(("pallas", PM.keff_operands(L, R)))
+        else:
+            ops.append(("einsum", (planar_bf16(L), planar_bf16(R))))
+
+    def mv(vec):
+        xs = split_states(vec, shapes)
+        out = [jnp.zeros(sh, dtype) for sh in shapes]
+        for q, ((i, j), (kind, op)) in enumerate(zip(pairs, ops)):
+            if kind == "pallas":
+                lt, rt = op
+                term = PM.keff_pallas(lt, rt, xs[j])
+            else:
+                lp, rp = op
+                term = keff_apply_lo(lp, rp, xs[j])
+            if facs is not None:
+                term = term * facs[q].astype(dtype)
+            out[i] = out[i] + term
+        return stack_states(out)
+
+    return mv
+
+
 @partial(jax.jit, static_argnames=("prec",))
 def renorm_block_left(
     L: jax.Array, a_bra: jax.Array, W: jax.Array, a_ket: jax.Array,

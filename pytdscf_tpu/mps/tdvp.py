@@ -186,6 +186,7 @@ def _site_step_impl(
     mv_prec: str = "highest",
     env_prec: str = "highest",
     relaxed: bool = False,
+    pallas: bool = False,
 ):
     """One fused TDVP site update.  Returns (site_out, psi_next, blocks_new).
 
@@ -205,11 +206,13 @@ def _site_step_impl(
         pairs, Ls, Ws, Rs, shapes, nstate, dtype, hfacs, prec=mv_prec
     )
     # relaxed (inexact) Krylov: iterations ≥ 2 run the matvec at a single
-    # bf16 pass — their errors enter exp(T)e₀ weighted by the (already
-    # small) late expansion coefficients (see krylov_expm docstring)
+    # bf16 pass with planar bf16 operands AND intermediates — their errors
+    # enter exp(T)e₀ weighted by the (already small) late expansion
+    # coefficients (see krylov_expm docstring); the planar form also halves
+    # the HBM traffic of the single-pass regime (K.heff_apply_lo)
     hmv_lo = (
-        _make_hmatvec(
-            pairs, Ls, Ws, Rs, shapes, nstate, dtype, hfacs, prec="default"
+        K.make_hmatvec_lo(
+            pairs, Ls, Ws, Rs, shapes, dtype, hfacs, use_pallas=pallas
         )
         if relaxed
         else None
@@ -278,9 +281,8 @@ def _site_step_impl(
             pairs, kLs, kRs, sshapes, nstate, dtype, kfacs, prec=mv_prec
         )
         kmv_lo = (
-            _make_kmatvec(
-                pairs, kLs, kRs, sshapes, nstate, dtype, kfacs,
-                prec="default",
+            K.make_kmatvec_lo(
+                pairs, kLs, kRs, sshapes, dtype, kfacs, use_pallas=pallas
             )
             if relaxed
             else None
@@ -327,6 +329,7 @@ _site_step = partial(
         "mv_prec",
         "env_prec",
         "relaxed",
+        "pallas",
     ),
 )(_site_step_impl)
 
@@ -344,6 +347,7 @@ _site_step = partial(
         "mv_prec",
         "env_prec",
         "relaxed",
+        "pallas",
     ),
 )
 def _scan_site_steps(
@@ -367,6 +371,7 @@ def _scan_site_steps(
     mv_prec: str = "highest",
     env_prec: str = "highest",
     relaxed: bool = False,
+    pallas: bool = False,
 ):
     """A RUN of uniform-shape site steps as ONE ``lax.scan`` program.
 
@@ -391,6 +396,7 @@ def _scan_site_steps(
             conserve_norm=conserve_norm, arnoldi=arnoldi,
             max_dim=max_dim, last=False, forward=forward,
             mv_prec=mv_prec, env_prec=env_prec, relaxed=relaxed,
+            pallas=pallas,
         )
         return (
             (psi_next, blocks_new, logs_new, kry_sum + kry),
@@ -816,6 +822,7 @@ class TDVPEngine:
             mv_prec=cfg.matvec_precision,
             env_prec=cfg.env_precision,
             relaxed=cfg.krylov_relaxed,
+            pallas=cfg.pallas_matvec,
         )
         pos = 0
         while pos < len(order):

@@ -86,7 +86,9 @@ def _sites_evolve_jit(
     out = krylov_expm(
         make(prec), K.stack_states(psis), scale, thresh, max_dim=max_dim,
         conserve_norm=False, arnoldi=arnoldi,
-        matvec_lo=make("default") if relaxed else None,
+        matvec_lo=K.make_hmatvec_lo(pairs, Ls, Ws, Rs, shapes, dtype, hfacs)
+        if relaxed
+        else None,
     )
     return tuple(K.split_states(out, shapes))
 
@@ -116,7 +118,9 @@ def _bonds_evolve_jit(
     out = krylov_expm(
         make(prec), K.stack_states(sigs), -scale, thresh, max_dim=max_dim,
         conserve_norm=False, arnoldi=arnoldi,
-        matvec_lo=make("default") if relaxed else None,
+        matvec_lo=K.make_kmatvec_lo(pairs, Ls, Rs, shapes, dtype, kfacs)
+        if relaxed
+        else None,
     )
     return tuple(K.split_states(out, shapes))
 

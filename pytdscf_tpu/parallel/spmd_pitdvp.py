@@ -146,7 +146,12 @@ def _sites_evolve(Ls, Ws, Rs, psis, scale, lsums, *, pairs, thresh,
     out = krylov_expm(
         make(prec), K.stack_states(psis), scale, thresh, max_dim=max_dim,
         conserve_norm=False, arnoldi=arnoldi,
-        matvec_lo=make("default") if relaxed else None,
+        matvec_lo=K.make_hmatvec_lo(
+            pairs, Ls, Ws, Rs, shapes, dtype,
+            tuple(jnp.exp(ls) for ls in lsums),
+        )
+        if relaxed
+        else None,
     )
     return tuple(K.split_states(out, shapes))
 
@@ -171,7 +176,12 @@ def _bonds_evolve(Ls, Rs, sigs, scale, lsums, *, pairs, thresh, max_dim,
     out = krylov_expm(
         make(prec), K.stack_states(sigs), -scale, thresh, max_dim=max_dim,
         conserve_norm=False, arnoldi=arnoldi,
-        matvec_lo=make("default") if relaxed else None,
+        matvec_lo=K.make_kmatvec_lo(
+            pairs, Ls, Rs, shapes, dtype,
+            tuple(jnp.exp(ls) for ls in lsums),
+        )
+        if relaxed
+        else None,
     )
     return tuple(K.split_states(out, shapes))
 

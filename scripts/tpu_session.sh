@@ -36,6 +36,10 @@ run BENCH_STEPS=10 python bench_chi.py
 # 3. relaxed Krylov A/B (populations must match run 2 to <=1e-5)
 run BENCH_STEPS=10 BENCH_RELAX=1 python bench_chi.py
 
+# 3b. pallas-fused relaxed matvec (may fail to lower in Mosaic — that is
+#     itself the measurement; keep only if >=5% faster than run 3)
+run BENCH_STEPS=10 BENCH_RELAX=1 BENCH_PALLAS=1 python bench_chi.py
+
 # 4. chi=2048 with the round-3 config (add BENCH_RELAX=1 if 3 was clean)
 run BENCH_CHI=2048 BENCH_RP_NUC=6 BENCH_KRYLOV=8 BENCH_SCAN=0 python bench_chi.py
 

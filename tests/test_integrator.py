@@ -102,11 +102,43 @@ def test_relaxed_mode_with_identical_matvec_is_exact(arnoldi):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_engine_krylov_relaxed_flag_cpu_noop():
-    """On CPU the Config.krylov_relaxed flag is numerically a no-op
-    (matmul precision flags only act on TPU) — engine energies must match
-    to f64 round-off, proving the flag threads through the fused site
-    step without changing semantics."""
+def test_planar_bf16_kernels_match_exact():
+    """The relaxed matvec's planar bf16 kernels (bf16 operands AND chain
+    intermediates — the HBM-traffic-halving form) reproduce the exact
+    contraction to single-bf16-pass accuracy (~4e-3 relative)."""
+    import jax.numpy as jnp
+
+    from pytdscf_tpu.mps import kernels as K
+
+    rng = np.random.default_rng(0)
+    chi, w, d = 24, 5, 4
+
+    def c(*sh):
+        return jnp.asarray(
+            rng.normal(size=sh) + 1j * rng.normal(size=sh), jnp.complex128
+        )
+
+    L, W, R, psi = c(chi, w, chi), c(w, d, d, w), c(chi, w, chi), c(chi, d, chi)
+    exact = K.heff_apply(L, W, R, psi, "highest")
+    lo = K.heff_apply_lo(
+        K.planar_bf16(L), K.planar_bf16(W), K.planar_bf16(R), psi
+    )
+    assert float(
+        jnp.linalg.norm(lo - exact) / jnp.linalg.norm(exact)
+    ) < 2e-2
+    sig = c(chi, chi)
+    exact2 = K.keff_apply(L, R, sig, "highest")
+    lo2 = K.keff_apply_lo(K.planar_bf16(L), K.planar_bf16(R), sig)
+    assert float(
+        jnp.linalg.norm(lo2 - exact2) / jnp.linalg.norm(exact2)
+    ) < 2e-2
+
+
+def test_engine_krylov_relaxed_tracks_exact():
+    """Config.krylov_relaxed now runs GENUINE planar-bf16 matvecs on every
+    backend (CPU included — the kernels round through bfloat16 explicitly,
+    not via TPU-only precision flags), so relaxed engine energies track the
+    exact run to the late-Krylov-coefficient weight, not bit-for-bit."""
     from pytdscf_tpu.config import Config
     from pytdscf_tpu.models.holstein import singlet_fission_chain
     from pytdscf_tpu.mps.lattice import alloc_hartree_product
@@ -135,5 +167,5 @@ def test_engine_krylov_relaxed_flag_cpu_noop():
         e0.propagate(0.05)
         e1.propagate(0.05)
     assert complex(e0.expectation(ham)) == pytest.approx(
-        complex(e1.expectation(ham)), abs=1e-12
+        complex(e1.expectation(ham)), abs=1e-6
     )

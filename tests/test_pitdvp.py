@@ -102,9 +102,10 @@ def test_pitdvp_tracks_serial(nseg):
     np.testing.assert_allclose(pops_par, pops_ser, atol=5e-03)
 
 
-def test_pitdvp_krylov_relaxed_cpu_noop():
-    """Config.krylov_relaxed threads through the parallel evolvers; on CPU
-    the precision flags are no-ops so the runs must match bit-for-bit."""
+def test_pitdvp_krylov_relaxed_tracks_exact():
+    """Config.krylov_relaxed threads through the parallel evolvers.  The
+    relaxed path runs genuine planar-bf16 matvecs on every backend, so the
+    runs track the exact propagation to the late-coefficient weight."""
     ham, cores = _model()
     a = PITDVP(
         list(cores), ham, Config(jobname="r0", thresh_exp=1e-10), 2
@@ -116,5 +117,5 @@ def test_pitdvp_krylov_relaxed_cpu_noop():
     for _ in range(2):
         a.propagate(DT)
         b.propagate(DT)
-    assert a.expectation() == pytest.approx(b.expectation(), abs=1e-13)
-    assert a.norm() == pytest.approx(b.norm(), abs=1e-13)
+    assert a.expectation() == pytest.approx(b.expectation(), abs=1e-6)
+    assert a.norm() == pytest.approx(b.norm(), abs=1e-6)
