@@ -28,7 +28,7 @@ import numpy as np
 
 from pytdscf_tpu.basis.op_matrix import op_matrix
 from pytdscf_tpu.config import Config
-from pytdscf_tpu.mps.integrator import krylov_expm
+from pytdscf_tpu.mps.integrator import krylov_expm, lanczos_ground_state
 from pytdscf_tpu.operators.sop import PolynomialHamiltonian
 
 
@@ -127,7 +127,16 @@ class SPFInts:
     cross-state blocks additionally need the plain overlap on every DOF).
     """
 
-    def __init__(self, basinfo, spfs: list[SPFCoef], keys_per_pair: dict):
+    def __init__(
+        self, basinfo, spfs: list[SPFCoef], keys_per_pair: dict,
+        spfs_ket: list[SPFCoef] | None = None,
+    ):
+        """``spfs_ket``: a DIFFERENT ket SPF set (the reference's
+        ``SPFInts(..., spf_coef_ket=...)`` used by the dipole fit) — then
+        even same-state blocks have non-identity overlaps on every DOF,
+        flagged via :attr:`mixed` for the CI contractions."""
+        kets = spfs if spfs_ket is None else spfs_ket
+        self.mixed = spfs_ket is not None
         #: {(i, j): [per-dof {key: (nspf_i, nspf_j) matrix}]}
         self.mats: dict[tuple[int, int], list[dict[str, jnp.ndarray]]] = {}
         for (i, j), keys_per_dof in keys_per_pair.items():
@@ -135,7 +144,7 @@ class SPFInts:
             for idof, keys in enumerate(keys_per_dof):
                 bas_i = basinfo.get_primbas(i, idof)
                 bas_j = basinfo.get_primbas(j, idof)
-                phi_i, phi_j = spfs[i].phis[idof], spfs[j].phis[idof]
+                phi_i, phi_j = spfs[i].phis[idof], kets[j].phis[idof]
                 dof_mats = {}
                 for key in keys | {"ovlp"}:
                     prim = jnp.asarray(
@@ -185,7 +194,7 @@ def ci_matvec_ms(cis, ham: PolynomialHamiltonian, ints: SPFInts, ndof: int):
         for j in range(ham.nstate):
             if (i, j) not in ints.mats:
                 continue
-            cross = i != j
+            cross = i != j or ints.mixed
             pair = ints.pair(i, j)
             for term in ham.general[i][j] + ham.onesite[i][j]:
                 mats = _pair_term_mats(pair, term.mode_ops, ndof, cross)
@@ -245,26 +254,31 @@ def rotate_rdm_to_primitive(rho, phis, nlegs):
 
 
 def ci_meanfield_ms(
-    cis, ham: PolynomialHamiltonian, ints: SPFInts, idof: int, ndof: int
+    cis, ham: PolynomialHamiltonian, ints: SPFInts, idof: int, ndof: int,
+    cis_ket=None,
 ):
     """Mean-field weights for DOF ``idof`` of every state.
 
     Returns ``{istate: [(W_{ab}, op_key, jstate), ...]}`` with
     W = ⟨A^i| Π_{d≠idof} h̃_d |A^j⟩ so the SPF EOM contribution is
     W @ φ^j @ h_prim(idof)ᵀ (reference ``construct_mfop``,
-    ``_ci_cls.py:129`` and ``_mps_sop.py:839-1172``)."""
+    ``_ci_cls.py:129`` and ``_mps_sop.py:839-1172``).  ``cis_ket``
+    supplies a different ket CI set (the dipole fit's mean field between
+    the current bra and the initial ket, reference
+    ``construct_mfop_TEMP4DIPOLE``)."""
+    kets = cis if cis_ket is None else cis_ket
     out: dict[int, list] = {i: [] for i in range(ham.nstate)}
     for i in range(ham.nstate):
         for j in range(ham.nstate):
             if (i, j) not in ints.mats:
                 continue
-            cross = i != j
+            cross = i != j or ints.mixed
             pair = ints.pair(i, j)
             axes = [d for d in range(ndof) if d != idof]
             for term in ham.general[i][j] + ham.onesite[i][j]:
                 mats = _pair_term_mats(pair, term.mode_ops, ndof, cross)
                 mats.pop(idof, None)
-                hA = _apply_term(cis[j], mats)
+                hA = _apply_term(kets[j], mats)
                 w = jnp.tensordot(cis[i].conj(), hA, axes=(axes, axes))
                 out[i].append(
                     (term.coef * w, term.mode_ops.get(idof, "ovlp"), j)
@@ -273,9 +287,9 @@ def ci_meanfield_ms(
             if cj != 0.0:
                 if cross:
                     mats = {d: pair[d]["ovlp"] for d in axes}
-                    hA = _apply_term(cis[j], mats)
+                    hA = _apply_term(kets[j], mats)
                 else:
-                    hA = cis[j]
+                    hA = kets[j]
                 w = jnp.tensordot(cis[i].conj(), hA, axes=(axes, axes))
                 out[i].append((cj * w, "ovlp", j))
     return out
@@ -289,11 +303,16 @@ def regularized_inverse(rho, epsrho: float):
     return (v / w[None, :]) @ v.conj().T
 
 
-def spf_derivative_frozen(basinfo, nstate, ndof, epsrho, phis_all, mfop):
+def spf_derivative_frozen(
+    basinfo, nstate, ndof, epsrho, phis_all, mfop, relax: bool = False
+):
     """i φ̇ = (1−P)ρ⁻¹ Σ_j W^{ij} φ^j h_prim ᵀ with FROZEN (ρ, W)
     — the constant-mean-field EOM (reference ``_spf_cls.py:192-309``).
     ``phis_all[i][d]`` is state i's SPF matrix for dof d; shared by the
-    MCTDH engine and the MPS-MCTDH hybrid."""
+    MCTDH engine and the MPS-MCTDH hybrid.  Under relaxation the EOM
+    factor switches −i → −1 (imaginary-time orbital optimisation,
+    reference ``_spf_cls.py:307``); the caller's Gram–Schmidt restores
+    orthonormality after the decaying flow."""
     derivs = []
     for i in range(nstate):
         state_derivs = []
@@ -311,13 +330,14 @@ def spf_derivative_frozen(basinfo, nstate, ndof, epsrho, phis_all, mfop):
             hphi = rho_inv @ acc
             proj = phi.conj() @ hphi.T  # ⟨φ_j|hφ_l⟩
             hphi = hphi - proj.T @ phi
-            state_derivs.append(-1j * hphi)
+            state_derivs.append((-1.0 if relax else -1j) * hphi)
         derivs.append(state_derivs)
     return derivs
 
 
 def propagate_spfs(
-    basinfo, nstate, ndof, epsrho, spfs, mfop, dt, tol: float = 1.0e-09
+    basinfo, nstate, ndof, epsrho, spfs, mfop, dt, tol: float = 1.0e-09,
+    relax: bool = False,
 ):
     """Propagate every state's SPFs under frozen mean fields (RK45)."""
     phis_all = [list(s.phis) for s in spfs]
@@ -343,7 +363,7 @@ def propagate_spfs(
 
     def f(y):
         ds = spf_derivative_frozen(
-            basinfo, nstate, ndof, epsrho, unpack(y), mfop
+            basinfo, nstate, ndof, epsrho, unpack(y), mfop, relax=relax
         )
         return jnp.concatenate([d.ravel() for state in ds for d in state])
 
@@ -378,17 +398,7 @@ class MCTDHEngine:
             for i in range(self.nstate)
         ]
         #: op keys per coupled state pair per dof
-        self.keys_per_pair: dict[tuple[int, int], list[set]] = {}
-        for i in range(self.nstate):
-            for j in range(self.nstate):
-                terms = ham.general[i][j] + ham.onesite[i][j]
-                if not terms and ham.coupleJ[i][j] == 0.0:
-                    continue
-                keys = [set() for _ in range(self.ndof)]
-                for term in terms:
-                    for d, k in term.mode_ops.items():
-                        keys[d].add(k)
-                self.keys_per_pair[(i, j)] = keys
+        self.keys_per_pair = self._keys_for(ham)
         self.spfs = [
             SPFCoef.init_ground(self.nspf[i], self.nprim[i])
             for i in range(self.nstate)
@@ -420,6 +430,21 @@ class MCTDHEngine:
                 SPFCoef([jnp.asarray(p) for p in phis])
                 for phis in payload["spf"]
             ]
+
+    def _keys_for(self, ham) -> dict[tuple[int, int], list]:
+        """Op keys per coupled state pair per dof for any SOP operator."""
+        out: dict[tuple[int, int], list] = {}
+        for i in range(ham.nstate):
+            for j in range(ham.nstate):
+                terms = ham.general[i][j] + ham.onesite[i][j]
+                if not terms and ham.coupleJ[i][j] == 0.0:
+                    continue
+                keys = [set() for _ in range(self.ndof)]
+                for term in terms:
+                    for d, k in term.mode_ops.items():
+                        keys[d].add(k)
+                out[(i, j)] = keys
+        return out
 
     # ------------------------------------------------- legacy 1-state views
     @property
@@ -493,7 +518,30 @@ class MCTDHEngine:
         return propagate_spfs(
             self.model.basinfo, self.nstate, self.ndof, self.epsrho,
             spfs, mfop, dt, tol=self.config.thresh_exp,
+            relax=self.config.relax != "none",
         )
+
+    def _diagonalize_ci(self, cis, ints):
+        """Improved (diagonalisation) relaxation of the CI tensor: restarted
+        Lanczos to the lowest Ritz vector of H in the frozen-SPF CI space
+        (reference ``_helper.diagonalize_CI`` via ``_ci_cls.propagate``,
+        ``/root/reference/pytdscf/_ci_cls.py:255-262``)."""
+
+        def mv(vec):
+            return self._flat(
+                ci_matvec_ms(self._unflat(vec), self.ham, ints, self.ndof)
+            )
+
+        v = self._flat(cis)
+        v = v / jnp.linalg.norm(v)
+        e = jnp.vdot(v, mv(v)).real
+        for _ in range(100):
+            v = lanczos_ground_state(mv, v)
+            e_new = jnp.vdot(v, mv(v)).real
+            if abs(float(e_new - e)) < 1.0e-12:
+                break
+            e = e_new
+        return self._unflat(v)
 
     # ------------------------------------------------------------ VMF step
     def propagate(self, dt: float, one_gate_to_apply=None, kraus_op=None):
@@ -505,11 +553,18 @@ class MCTDHEngine:
                 "gates/Kraus are not supported for ci_type='mctdh'; use "
                 "the MPS or MPS-MCTDH hybrid ansatz"
             )
-        scale = (
-            -0.5 * dt if self.config.relax == "imaginary" else -0.5j * dt
-        )
+        if self.config.relax == "improved":
+            # improved relaxation: the CI half-steps become diagonalisation
+            # to the lowest Ritz vector, the SPFs flow in imaginary time
+            # (reference ``_ci_cls.propagate`` under doRelax)
+            step_ci = self._diagonalize_ci
+        else:
+            scale = (
+                -0.5 * dt if self.config.relax == "imaginary" else -0.5j * dt
+            )
+            step_ci = lambda cis, ints: self._propagate_ci(cis, ints, scale)  # noqa: E731
         ints = self._ints()
-        self.cis = self._propagate_ci(self.cis, ints, scale)
+        self.cis = step_ci(self.cis, ints)
 
         # SPF propagation with mean fields recomputed per RK stage from the
         # frozen CI (VMF-style split)
@@ -519,7 +574,7 @@ class MCTDHEngine:
             s.gram_schmidt()
 
         ints = self._ints()
-        self.cis = self._propagate_ci(self.cis, ints, scale)
+        self.cis = step_ci(self.cis, ints)
 
     # ------------------------------------------------------------ CMF step
     def propagate_CMF(self, stepsize_guess: float):
@@ -532,6 +587,14 @@ class MCTDHEngine:
         shrink the step by Beck's 0.7·(tol/err)^0.25 rule and grow the next
         guess by ≤1.5×.  Returns ``(stepsize_actual, stepsize_next)``.
         """
+        if self.config.relax == "improved":
+            # diagonalisation has no step size to control — improved
+            # relaxation runs under the VMF stepper (as in the reference,
+            # where doRelax bypasses the CI SIL entirely)
+            raise NotImplementedError(
+                "improved relaxation uses the VMF stepper; call "
+                "propagate() or Simulator.relax() without CMF"
+            )
         tol = self.config.tol_cmf
         h_max = self.config.max_stepsize
         h = min(stepsize_guess, h_max)
@@ -594,21 +657,89 @@ class MCTDHEngine:
         self.spfs = spfs_full
         return h, h_next
 
+    # ------------------------------------------------------- operator fit
+    def apply_operator_fit(
+        self, operator, maxiter: int = 10, conv_tol: float = 1.0e-08
+    ) -> float:
+        """Fit |Φ⟩ ≈ O|Ψ₀⟩ in MCTDH form, returning ‖O|Ψ₀⟩‖ in the fitted
+        subspace (the Simulator ``operate`` contract shared with
+        ``TDVPEngine.apply_operator_fit``).
+
+        Reference semantics (``wavefunction.apply_dipole``,
+        ``/root/reference/pytdscf/wavefunction.py:303-360``): alternate
+        (1) SPF rotation toward the mean-field-weighted O·φ₀ — mean fields
+        between the CURRENT CI (bra) and the INITIAL CI (ket) over
+        mixed-SPF-set integrals (``construct_mfop_TEMP4DIPOLE`` /
+        ``apply_dipole_spf_coef``) — and (2) the CI update
+        A ← ⟨Φ(φ)|O|Ψ₀(φ₀)⟩ (``apply_dipole_ci_coef``), until the CI
+        coefficient overlap stabilises.  With full-rank SPFs one projection
+        is exact and the loop exits immediately."""
+        if not isinstance(operator, PolynomialHamiltonian):
+            raise NotImplementedError(
+                "MCTDH operator fit requires a PolynomialHamiltonian (SOP)"
+            )
+        basinfo = self.model.basinfo
+        keys = self._keys_for(operator)
+        cis0 = list(self.cis)
+        spfs0 = [s.copy() for s in self.spfs]
+        contracted = any(
+            self.nspf[i][d] < self.nprim[i][d]
+            for i in range(self.nstate)
+            for d in range(self.ndof)
+        )
+        prev = None
+        norm = 0.0
+        for _ in range(maxiter):
+            if contracted:
+                ints = SPFInts(basinfo, self.spfs, keys, spfs_ket=spfs0)
+                mfs = [
+                    ci_meanfield_ms(
+                        self.cis, operator, ints, d, self.ndof, cis_ket=cis0
+                    )
+                    for d in range(self.ndof)
+                ]
+                for i in range(self.nstate):
+                    new_phis = []
+                    for d in range(self.ndof):
+                        acc = jnp.zeros_like(self.spfs[i].phis[d])
+                        for (w, key, j) in mfs[d][i]:
+                            prim = jnp.asarray(
+                                op_matrix(
+                                    basinfo.get_primbas(i, d),
+                                    basinfo.get_primbas(j, d),
+                                    key,
+                                ),
+                                jnp.complex128,
+                            )
+                            acc = acc + w @ (spfs0[j].phis[d] @ prim.T)
+                        new_phis.append(acc)
+                    # a state with no weight in O|Ψ₀⟩ gets vanishing mean
+                    # fields — keep its old orbitals (Gram-Schmidt of a
+                    # zero matrix is junk)
+                    if min(
+                        float(jnp.linalg.norm(p)) for p in new_phis
+                    ) > 1.0e-12:
+                        self.spfs[i] = SPFCoef(new_phis)
+                        self.spfs[i].gram_schmidt()
+            ints = SPFInts(basinfo, self.spfs, keys, spfs_ket=spfs0)
+            vec = self._flat(ci_matvec_ms(cis0, operator, ints, self.ndof))
+            norm = float(jnp.linalg.norm(vec))
+            if norm < 1.0e-300:
+                raise ValueError("operator annihilates the wavefunction")
+            vec = vec / norm
+            self.cis = self._unflat(vec)
+            if not contracted or (
+                prev is not None
+                and abs(1.0 - abs(complex(jnp.vdot(prev, vec)))) < conv_tol
+            ):
+                break
+            prev = vec
+        return norm
+
     # ---------------------------------------------------------- observables
     def expectation(self, op=None) -> complex:
         ham = self.ham if op is None or op is self.ham else op
-        keys_per_pair = {}
-        for i in range(ham.nstate):
-            for j in range(ham.nstate):
-                terms = ham.general[i][j] + ham.onesite[i][j]
-                if not terms and ham.coupleJ[i][j] == 0.0:
-                    continue
-                keys = [set() for _ in range(self.ndof)]
-                for term in terms:
-                    for d, k in term.mode_ops.items():
-                        keys[d].add(k)
-                keys_per_pair[(i, j)] = keys
-        ints = SPFInts(self.model.basinfo, self.spfs, keys_per_pair)
+        ints = SPFInts(self.model.basinfo, self.spfs, self._keys_for(ham))
         hcis = ci_matvec_ms(self.cis, ham, ints, self.ndof)
         return complex(
             sum(jnp.vdot(c, hc) for c, hc in zip(self.cis, hcis))

@@ -356,6 +356,9 @@ class MPSMCTDHEngine:
         self.spfs = propagate_spfs(
             self.model.basinfo, self.nstate, self.ndof, self.epsrho,
             self.spfs, mfop, dt, tol=self.config.thresh_exp,
+            # under relaxation the SPF flow runs in imaginary time, like
+            # the MPS layer above it (reference ``_spf_cls.py:307``)
+            relax=self.config.relax != "none",
         )
         for s in self.spfs:
             s.gram_schmidt()
@@ -424,3 +427,43 @@ class MPSMCTDHEngine:
                 [np.asarray(p) for p in s.phis] for s in self.spfs
             ],
         }
+
+    def apply_operator_fit(
+        self, operator, maxiter: int = 10, conv_tol: float = 1.0e-08
+    ) -> float:
+        """Fit |Φ⟩ ≈ O|Ψ₀⟩ with FROZEN SPFs: project the SOP operator onto
+        the current SPF bases and run the MPS alternating fit
+        (``TDVPEngine.apply_operator_fit``).  Exact within the SPF span —
+        the same projection the hybrid's propagation itself makes each
+        step; the reference additionally rotates SPFs toward O·φ₀
+        (``wavefunction.py:321-330``), which the full-MCTDH engine here
+        implements (``mctdh.MCTDHEngine.apply_operator_fit``)."""
+        if not isinstance(operator, PolynomialHamiltonian):
+            raise NotImplementedError(
+                "hybrid operator fit requires a PolynomialHamiltonian"
+            )
+        return self.tdvp.apply_operator_fit(
+            self._spf_operator(operator), maxiter=maxiter,
+            conv_tol=conv_tol,
+        )
+
+    def to_mctdh(self):
+        """Convert MPS-MCTDH → full MCTDH: contract each state's MPS over
+        its SPF indices into a dense CI tensor, carrying the SPF sets over
+        unchanged (the reference's ``trans_mps2fci``,
+        ``/root/reference/pytdscf/_helper.py:165-188``).  Exact — the MPS
+        is a (possibly rank-truncated) factorisation of the same CI
+        tensor, so every observable matches to round-off."""
+        from pytdscf_tpu.mctdh import MCTDHEngine
+
+        cis = []
+        for state in self._cores_np():
+            ci = np.asarray(state[0])[0]  # (n0, r0): left leg is 1-dim
+            for core in state[1:]:
+                ci = np.tensordot(ci, np.asarray(core), axes=(ci.ndim - 1, 0))
+            cis.append(ci[..., 0])  # right leg of the last site is 1-dim
+        payload = {
+            "ci": cis,
+            "spf": [[np.asarray(p) for p in s.phis] for s in self.spfs],
+        }
+        return MCTDHEngine(self.model, self.config, payload=payload)

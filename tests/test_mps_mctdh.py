@@ -193,3 +193,92 @@ def test_hybrid_tdh_split(tmp_path):
     e, wf = sim.propagate(maxstep=NSTEP, stepsize=DT)
     assert e == pytest.approx(e0, abs=5e-6)
     assert wf.norm() == pytest.approx(1.0, abs=1e-8)
+
+
+def test_hybrid_to_mctdh_conversion(tmp_path):
+    """to_mctdh (the reference's ``trans_mps2fci``,
+    ``/root/reference/pytdscf/_helper.py:165-188``): contracting the hybrid
+    MPS into a dense CI tensor preserves energy/norm/autocorr to round-off,
+    and the converted full-MCTDH wavefunction keeps propagating with the
+    same conserved energy."""
+    os.chdir(tmp_path)
+    basinfo = BasInfo(_prim_info(), [[4, 4, 4]])
+    ham = read_potential_nMR(h2o_k_orig)
+    model = Model(basinfo, {"hamiltonian": ham}, bond_dim=6)
+    sim = Simulator("h2o_conv", model, verbose=0)
+    e_hyb, wf = sim.propagate(maxstep=3, stepsize=DT)
+    hybrid = wf.engine
+    full = hybrid.to_mctdh()
+    assert complex(full.expectation()).real == pytest.approx(
+        complex(hybrid.expectation()).real, abs=1e-10
+    )
+    assert full.norm() == pytest.approx(hybrid.norm(), abs=1e-10)
+    assert complex(full.autocorr()) == pytest.approx(
+        complex(hybrid.autocorr()), abs=1e-10
+    )
+    e0 = complex(full.expectation()).real
+    for _ in range(3):
+        full.propagate(DT)
+    assert complex(full.expectation()).real == pytest.approx(e0, abs=5e-7)
+    assert full.norm() == pytest.approx(1.0, abs=1e-8)
+
+
+def test_hybrid_improved_relax(tmp_path):
+    """Improved relaxation through the hybrid engine: the MPS layer
+    diagonalises while the SPFs flow in imaginary time; the relaxed energy
+    must approach the full-space ZPE from above (variational) and sit
+    within the SPF-contraction error of the MPS literal 0.0208557166
+    (tests/test_h2o_pipeline.py, 9³ primitive space)."""
+    os.chdir(tmp_path)
+    prim = [[
+        PrimBas_HO(0.0, math.sqrt(h2o_k_orig[(i, i)]) * units.au_in_cm1, 9)
+        for i in (1, 2, 3)
+    ]]
+    basinfo = BasInfo(prim, [[5, 5, 5]])
+    ham = read_potential_nMR(h2o_k_orig)
+    model = Model(basinfo, {"hamiltonian": ham}, bond_dim=5)
+    sim = Simulator("h2o_hyb_relax", model, verbose=0)
+    e_gs, _ = sim.relax(maxstep=10, stepsize=0.2, improved=True)
+    zpe_full = 0.0208557166
+    assert e_gs > zpe_full - 1.0e-09
+    assert e_gs == pytest.approx(zpe_full, abs=2.0e-05)
+
+
+def test_hybrid_operate_dipole(tmp_path):
+    """Simulator.operate through the hybrid engine: frozen-SPF projection
+    + MPS alternating fit.  The fitted norm is bounded by the full-space
+    value and recovers most of it (the GS-optimised SPFs span the dipole
+    action well for a near-harmonic PES)."""
+    from pytdscf_tpu.potentials import h2o_mu
+
+    os.chdir(tmp_path)
+    prim = [[
+        PrimBas_HO(0.0, math.sqrt(h2o_k_orig[(i, i)]) * units.au_in_cm1, 9)
+        for i in (1, 2, 3)
+    ]]
+    ham = read_potential_nMR(h2o_k_orig)
+    mu_ham = read_potential_nMR(
+        None, dipole_emu=h2o_mu, efield=(1e-2, 1e-2, 1e-2)
+    )
+
+    # full-space reference norm via the plain MPS route
+    model = Model(BasInfo(prim), {"hamiltonian": ham}, bond_dim=9)
+    sim = Simulator("h2o_mps_ref", model, verbose=0)
+    sim.relax(maxstep=5, stepsize=0.1, improved=True)
+    norm_full, _ = Simulator(
+        "h2o_mps_ref",
+        Model(BasInfo(prim), {"hamiltonian": mu_ham}, bond_dim=9),
+        verbose=0,
+    ).operate(maxstep=10, restart=True, loadfile_ext="_gs")
+
+    basinfo = BasInfo(prim, [[6, 6, 6]])
+    model_h = Model(basinfo, {"hamiltonian": ham}, bond_dim=6)
+    sim_h = Simulator("h2o_hyb_op", model_h, verbose=0)
+    sim_h.relax(maxstep=8, stepsize=0.2, improved=True)
+    norm_h, _ = Simulator(
+        "h2o_hyb_op",
+        Model(basinfo, {"hamiltonian": mu_ham}, bond_dim=6),
+        verbose=0,
+    ).operate(maxstep=10, restart=True, loadfile_ext="_gs")
+    assert norm_h < norm_full * (1.0 + 1e-09)
+    assert norm_h > 0.97 * norm_full
