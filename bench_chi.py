@@ -33,6 +33,10 @@ Env knobs:
                   single planar-bf16 pass (Config.krylov_relaxed)
   BENCH_PALLAS  — 1: route the relaxed matvec through the pallas-fused
                   VMEM-resident chain kernel (needs BENCH_RELAX=1)
+  BENCH_TP      — shard the TDVP state (cores + env blocks) over this
+                  many devices on a "tp" mesh axis (parallel/bond_tp.py);
+                  the χ>2048 HBM-capacity path — e.g. χ=4096 needs ~22 GB
+                  of resident state, over one v5e chip's 15.75 GB
 """
 
 from __future__ import annotations
@@ -142,7 +146,23 @@ def main() -> None:
         krylov_relaxed=os.environ.get("BENCH_RELAX", "0") != "0",
         pallas_matvec=os.environ.get("BENCH_PALLAS", "0") != "0",
     )
-    engine = TDVPEngine([cores], model.hamiltonian, config)
+    tp = int(os.environ.get("BENCH_TP", "0"))
+    if tp > 1:
+        from pytdscf_tpu.parallel import make_mesh
+        from pytdscf_tpu.parallel.bond_tp import (
+            BondTPEngine,
+            state_bytes_per_device,
+        )
+
+        engine = BondTPEngine(
+            [cores], model.hamiltonian, config, make_mesh({"tp": tp})
+        )
+        total_b, dev_b = state_bytes_per_device(engine)
+        log(f"bench_chi: bond-TP over {tp} devices — resident state "
+            f"{total_b / 2**30:.2f} GiB total, {dev_b / 2**30:.2f} GiB "
+            f"max/device")
+    else:
+        engine = TDVPEngine([cores], model.hamiltonian, config)
     t0 = time.time()
     engine.right_canonicalize()
     tr0 = complex(engine.trace(0))

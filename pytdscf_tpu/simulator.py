@@ -123,6 +123,7 @@ class Simulator:
         norm_per_step: int = 1,
         populations_per_step: int = 1,
         parallel_split_indices=None,
+        bond_tp_devices: int | None = None,
         adaptive: bool = False,
         adaptive_Dmax: int = 20,
         adaptive_dD: int = 5,
@@ -195,6 +196,7 @@ class Simulator:
             norm_per_step=norm_per_step,
             populations_per_step=populations_per_step,
             parallel_split_indices=parallel_split_indices,
+            bond_tp_devices=bond_tp_devices,
         )
 
     def relax(
@@ -326,12 +328,38 @@ class Simulator:
 
         return PITDVP(cores, ham, config, P)
 
+    def _bond_tp_engine(self, config: Config, cores, nshard: int):
+        """χ-sharded engine for ``bond_tp_devices`` (bond-dimension tensor
+        parallelism, ``parallel/bond_tp.py`` — the HBM-capacity axis the
+        reference does not have).  A parallelism request is never silently
+        ignored: too few devices raises."""
+        import jax as _jax
+
+        ndev = len(_jax.devices())
+        if nshard < 2:
+            raise ValueError(
+                f"bond_tp_devices must be >= 2 (got {nshard}); omit it "
+                "for a single-device run"
+            )
+        if ndev < nshard:
+            raise NotImplementedError(
+                f"bond_tp_devices={nshard} needs at least {nshard} "
+                f"devices; found {ndev}"
+            )
+        from pytdscf_tpu.parallel.bond_tp import BondTPEngine
+        from pytdscf_tpu.parallel.mesh import make_mesh
+
+        return BondTPEngine(
+            cores, self.model.hamiltonian, config, make_mesh({"tp": nshard})
+        )
+
     def _initial_engine(
         self,
         config: Config,
         restart: bool,
         loadfile_ext: str,
         parallel_split_indices=None,
+        bond_tp_devices: int | None = None,
     ):
         def _restart_payload():
             path = resolve_checkpoint(f"wf_{self.jobname}{loadfile_ext}.pkl")
@@ -342,13 +370,20 @@ class Simulator:
                 )
             return load_wavefunction(path)
 
-        if parallel_split_indices is not None and (
+        if parallel_split_indices is not None and bond_tp_devices is not None:
+            raise NotImplementedError(
+                "parallel_split_indices (chain axis) and bond_tp_devices "
+                "(χ axis) cannot be combined yet; pick one"
+            )
+        if (
+            parallel_split_indices is not None or bond_tp_devices is not None
+        ) and (
             self.ci_type != "mps"
             or not self.model.basinfo.is_standard_method
         ):
             raise NotImplementedError(
-                "parallel_split_indices requires the standard-method MPS "
-                "ansatz (ci_type='mps')"
+                "parallel_split_indices / bond_tp_devices require the "
+                "standard-method MPS ansatz (ci_type='mps')"
             )
         if self.ci_type == "mctdh":
             from pytdscf_tpu.mctdh import MCTDHEngine
@@ -374,6 +409,8 @@ class Simulator:
             return self._parallel_engine(
                 config, cores, parallel_split_indices
             )
+        if bond_tp_devices is not None:
+            return self._bond_tp_engine(config, cores, bond_tp_devices)
         return TDVPEngine(cores, self.model.hamiltonian, config)
 
     def _alloc_initial_cores(self) -> list[list[np.ndarray]]:
@@ -485,6 +522,7 @@ class Simulator:
         norm_per_step: int = 1,
         populations_per_step: int = 1,
         parallel_split_indices=None,
+        bond_tp_devices: int | None = None,
     ) -> tuple[Any, WaveFunction]:
         import os as _os
 
@@ -520,6 +558,7 @@ class Simulator:
         engine = self._initial_engine(
             config, restart, loadfile_ext,
             parallel_split_indices=parallel_split_indices,
+            bond_tp_devices=bond_tp_devices,
         )
         # Explicit-autocorr bra: persist the t=0 state once so restarted
         # runs keep computing ⟨Ψ(0)|Ψ(t)⟩ against the TRUE initial state
