@@ -72,9 +72,16 @@ import os as _os
 CHQR_ITERS = int(_os.environ.get("PYTDSCF_CHQR_ITERS", "3"))
 
 #: Apply the per-round orthogonalisation as (r, r) triangular INVERSE +
-#: MXU matmul (default) instead of an (N, r) triangular solve — see
-#: ``_cholesky_qr``.  Set PYTDSCF_CHQR_SOLVE=1 to restore the solve.
-CHQR_INVERSE = _os.environ.get("PYTDSCF_CHQR_SOLVE", "0") == "0"
+#: MXU matmul instead of an (N, r) triangular solve — see ``_cholesky_qr``.
+#: Measured on the real v5e chip (scripts/microbench_chqr.py, (4096, 1024)
+#: c64): solve 7.55 ms/factor vs inverse 8.76 ms at identical
+#: orthogonality — the chip's triangular_solve is NOT substitution-bound
+#: at these shapes, so the solve body is the default.  Set
+#: PYTDSCF_CHQR_INVERSE=1 to opt back into the inverse body.
+CHQR_INVERSE = (
+    _os.environ.get("PYTDSCF_CHQR_INVERSE", "0") == "1"
+    and _os.environ.get("PYTDSCF_CHQR_SOLVE", "0") == "0"
+)
 
 
 def _cholesky_qr(
@@ -114,10 +121,11 @@ def _cholesky_qr(
         g = g + jnp.diag(jnp.where(live, s, 1.0)).astype(g.dtype)
         L = jnp.linalg.cholesky(g)
         if CHQR_INVERSE:
-            # triangular solves lower to sequential block substitution on
-            # TPU; inverting the (r, r) factor once (r× fewer RHS columns)
-            # and applying q·L^{-†} as an MXU matmul is ~2× faster per
-            # round at χ≥1024.  L is block-diagonal w.r.t. live/dead
+            # opt-in body: invert the (r, r) factor once and apply
+            # q·L^{-†} as an MXU matmul (measured slightly SLOWER than
+            # the solve on v5e — see CHQR_INVERSE above; kept for
+            # backends where solves substitution-bind).  L is
+            # block-diagonal w.r.t. live/dead
             # columns (dead Gram rows are zero + unit diagonal patch), so
             # dead columns of q stay exactly zero through the matmul.
             Linv = jax.lax.linalg.triangular_solve(

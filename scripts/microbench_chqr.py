@@ -23,6 +23,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir",
                   f"/tmp/jaxcache-{jax.devices()[0].platform}")
 
+from pytdscf_tpu.mps import device_io  # noqa: E402
 from pytdscf_tpu.mps import kernels as K  # noqa: E402
 
 
@@ -39,25 +40,33 @@ def main() -> None:
     u, _ = np.linalg.qr(rng.normal(size=(chi * d, chi)))
     sv = np.logspace(0, -5, chi)
     a = (u * sv) @ np.linalg.qr(rng.normal(size=(chi, chi)))[0]
-    a = jnp.asarray(a + 0.1j * a[::-1], dtype=jnp.complex64)
-    a = jax.device_put(a)
+    a = device_io.put(a + 0.1j * a[::-1], jnp.complex64)
 
     f = jax.jit(K._cholesky_qr)
+
+    # complex ops must run inside jit on this TPU; fetch real scalars only
+    @jax.jit
+    def _norm(x):
+        return jnp.abs(jnp.linalg.norm(x))
+
+    @jax.jit
+    def _checks(q, r, a):
+        g = jnp.einsum("ik,il->kl", q.conj(), q,
+                       precision=jax.lax.Precision.HIGHEST)
+        orth = jnp.max(jnp.abs(g - jnp.eye(chi, dtype=g.dtype)))
+        rec = jnp.abs(jnp.linalg.norm(q @ r - a) / jnp.linalg.norm(a))
+        return orth, rec
+
     q, r = f(a)
-    # value-fetch sync (tunnel); complex fetch is rejected on TPU
-    float(jnp.linalg.norm(q).real)
+    # value-fetch sync (tunnel)
+    float(_norm(q))
     t0 = time.time()
     for _ in range(reps):
         q, r = f(a)
-    float(jnp.linalg.norm(q).real)
+    float(_norm(q))
     dt = (time.time() - t0) / reps
-    # orthogonality + reconstruction checks on device
-    g = jnp.einsum("ik,il->kl", q.conj(), q,
-                   precision=jax.lax.Precision.HIGHEST)
-    orth = float(jnp.max(jnp.abs(g - jnp.eye(chi, dtype=g.dtype))))
-    rec = float(
-        (jnp.linalg.norm(q @ r - a) / jnp.linalg.norm(a)).real
-    )
+    orth_d, rec_d = _checks(q, r, a)
+    orth, rec = float(orth_d), float(rec_d)
     print(f"{variant}: {dt * 1e3:.2f} ms/factor  orth={orth:.2e}  "
           f"recon={rec:.2e}")
 
