@@ -51,9 +51,35 @@ except Exception:  # pragma: no cover
 BF16 = jnp.bfloat16
 F32 = jnp.float32
 
+#: The package pins ``jax_default_matmul_precision=highest``, which would
+#: stamp these deliberately-bf16 kernel matmuls with
+#: ``contract_precision<fp32>`` — Mosaic rejects that combination with
+#: "Bad lhs type" (measured on the v5e remote compiler).  The kernel's
+#: accuracy contract is bf16 operands + f32 accumulation, so DEFAULT is
+#: the correct (and compilable) precision here.
+_PREC = jax.lax.Precision.DEFAULT
+
+
+def _z():
+    """Index-map zero as i32: under the package-wide ``jax_enable_x64``
+    literal 0 traces as i64, and Mosaic rejects index maps mixing i64
+    constants with the i32 ``program_id`` ("failed to legalize
+    'func.return'")."""
+    return jnp.int32(0)
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _compiler_params():
+    """Raise the kernel's scoped-VMEM limit: at χ=1024 the streamed
+    (rdim, tx)/(bdim, tx) blocks total ~18-26 MB with double buffering,
+    over Mosaic's 16 MB default (measured OOM on v5e); the chip has
+    128 MB of VMEM, so grant the kernel a comfortable slice."""
+    if pltpu is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def wbig_from_mpo(W: jax.Array) -> jax.Array:
@@ -85,18 +111,18 @@ def _heff_kernel(p_ref, rt_ref, lt_ref, wb_ref, out_ref, t1_ref, *, d, w,
         for c in range(w):
             rre = rt_ref[0, c]
             rim = rt_ref[1, c]
-            t1re = jnp.dot(pre, rre, preferred_element_type=F32) - jnp.dot(
-                pim, rim, preferred_element_type=F32
+            t1re = jnp.dot(pre, rre, preferred_element_type=F32, precision=_PREC) - jnp.dot(
+                pim, rim, preferred_element_type=F32, precision=_PREC
             )
-            t1im = jnp.dot(pre, rim, preferred_element_type=F32) + jnp.dot(
-                pim, rre, preferred_element_type=F32
+            t1im = jnp.dot(pre, rim, preferred_element_type=F32, precision=_PREC) + jnp.dot(
+                pim, rre, preferred_element_type=F32, precision=_PREC
             )
             row = (j * w + c) * 2
             t1_ref[row] = t1re.astype(BF16).reshape(-1)
             t1_ref[row + 1] = t1im.astype(BF16).reshape(-1)
     # ---- step B: one planar-mixing matmul applies W and the complex algebra
     t2 = jnp.dot(
-        wb_ref[:].astype(BF16), t1_ref[:], preferred_element_type=F32
+        wb_ref[:].astype(BF16), t1_ref[:], preferred_element_type=F32, precision=_PREC
     ).astype(BF16)
 
     # ---- step C: σ_tile accumulation over k tiles
@@ -114,12 +140,12 @@ def _heff_kernel(p_ref, rt_ref, lt_ref, wb_ref, out_ref, t1_ref, *, d, w,
             t2re = t2[row].reshape(tk, tx)
             t2im = t2[row + 1].reshape(tk, tx)
             acc_re = acc_re + (
-                jnp.dot(lre, t2re, preferred_element_type=F32)
-                - jnp.dot(lim, t2im, preferred_element_type=F32)
+                jnp.dot(lre, t2re, preferred_element_type=F32, precision=_PREC)
+                - jnp.dot(lim, t2im, preferred_element_type=F32, precision=_PREC)
             )
             acc_im = acc_im + (
-                jnp.dot(lim, t2re, preferred_element_type=F32)
-                + jnp.dot(lre, t2im, preferred_element_type=F32)
+                jnp.dot(lim, t2re, preferred_element_type=F32, precision=_PREC)
+                + jnp.dot(lre, t2im, preferred_element_type=F32, precision=_PREC)
             )
         out_ref[0, i] = acc_re
         out_ref[1, i] = acc_im
@@ -150,17 +176,18 @@ def heff_pallas(Lt, Wb, Rt, psi, tk: int = 128, tx: int = 128):
         partial(_heff_kernel, **kwargs),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((2, d, tk, rdim), lambda xt, kt: (0, 0, kt, 0)),
-            pl.BlockSpec((2, w, rdim, tx), lambda xt, kt: (0, 0, 0, xt)),
-            pl.BlockSpec((2, w, bdim, tk), lambda xt, kt: (0, 0, 0, kt)),
-            pl.BlockSpec((2 * d * w, 2 * d * w), lambda xt, kt: (0, 0)),
+            pl.BlockSpec((2, d, tk, rdim), lambda xt, kt: (_z(), _z(), kt, _z())),
+            pl.BlockSpec((2, w, rdim, tx), lambda xt, kt: (_z(), _z(), _z(), xt)),
+            pl.BlockSpec((2, w, bdim, tk), lambda xt, kt: (_z(), _z(), _z(), kt)),
+            pl.BlockSpec((2 * d * w, 2 * d * w), lambda xt, kt: (_z(), _z())),
         ],
         out_specs=pl.BlockSpec(
-            (2, d, bdim, tx), lambda xt, kt: (0, 0, 0, xt)
+            (2, d, bdim, tx), lambda xt, kt: (_z(), _z(), _z(), xt)
         ),
         out_shape=jax.ShapeDtypeStruct((2, d, bdim, xdim), F32),
         scratch_shapes=[_VMEM((2 * d * w, tk * tx), BF16)],
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(psit, Rt, Lt, Wb)
     sig = jax.lax.complex(out[0], out[1]).astype(psi.dtype)
     return jnp.transpose(sig, (1, 0, 2))  # (b, i, x)
@@ -180,23 +207,23 @@ def _keff_kernel(s_ref, rt_ref, lt_ref, out_ref, *, w, tk, tx):
     for a in range(w):
         rre = rt_ref[0, a]
         rim = rt_ref[1, a]
-        t1re = jnp.dot(sre, rre, preferred_element_type=F32) - jnp.dot(
-            sim, rim, preferred_element_type=F32
+        t1re = jnp.dot(sre, rre, preferred_element_type=F32, precision=_PREC) - jnp.dot(
+            sim, rim, preferred_element_type=F32, precision=_PREC
         )
-        t1im = jnp.dot(sre, rim, preferred_element_type=F32) + jnp.dot(
-            sim, rre, preferred_element_type=F32
+        t1im = jnp.dot(sre, rim, preferred_element_type=F32, precision=_PREC) + jnp.dot(
+            sim, rre, preferred_element_type=F32, precision=_PREC
         )
         t1re = t1re.astype(BF16)
         t1im = t1im.astype(BF16)
         lre = lt_ref[0, a]
         lim = lt_ref[1, a]
         acc_re = acc_re + (
-            jnp.dot(lre, t1re, preferred_element_type=F32)
-            - jnp.dot(lim, t1im, preferred_element_type=F32)
+            jnp.dot(lre, t1re, preferred_element_type=F32, precision=_PREC)
+            - jnp.dot(lim, t1im, preferred_element_type=F32, precision=_PREC)
         )
         acc_im = acc_im + (
-            jnp.dot(lim, t1re, preferred_element_type=F32)
-            + jnp.dot(lre, t1im, preferred_element_type=F32)
+            jnp.dot(lim, t1re, preferred_element_type=F32, precision=_PREC)
+            + jnp.dot(lre, t1im, preferred_element_type=F32, precision=_PREC)
         )
     out_ref[0] = acc_re
     out_ref[1] = acc_im
@@ -218,13 +245,14 @@ def keff_pallas(Lt, Rt, sig, tk: int = 128, tx: int = 128):
         partial(_keff_kernel, w=w, tk=tk, tx=tx),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((2, tk, rdim), lambda xt, kt: (0, kt, 0)),
-            pl.BlockSpec((2, w, rdim, tx), lambda xt, kt: (0, 0, 0, xt)),
-            pl.BlockSpec((2, w, bdim, tk), lambda xt, kt: (0, 0, 0, kt)),
+            pl.BlockSpec((2, tk, rdim), lambda xt, kt: (_z(), kt, _z())),
+            pl.BlockSpec((2, w, rdim, tx), lambda xt, kt: (_z(), _z(), _z(), xt)),
+            pl.BlockSpec((2, w, bdim, tk), lambda xt, kt: (_z(), _z(), _z(), kt)),
         ],
-        out_specs=pl.BlockSpec((2, bdim, tx), lambda xt, kt: (0, 0, xt)),
+        out_specs=pl.BlockSpec((2, bdim, tx), lambda xt, kt: (_z(), _z(), xt)),
         out_shape=jax.ShapeDtypeStruct((2, bdim, xdim), F32),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(sigt, Rt, Lt)
     return jax.lax.complex(out[0], out[1]).astype(sig.dtype)
 
