@@ -33,8 +33,11 @@ Env knobs:
                   planar-bf16 pass (Config.krylov_relaxed).  Default ON
                   (chip-validated: populations match exact to 5e-6);
                   BENCH_RELAX=0 restores exact matvecs
-  BENCH_PALLAS  — 1: route the relaxed matvec through the pallas-fused
-                  VMEM-resident chain kernel (needs BENCH_RELAX=1)
+  BENCH_PALLAS  — route the relaxed matvec through the pallas-fused
+                  VMEM-resident chain kernel (needs relax ON).  Default
+                  ON (chip-validated: 1.397 → 1.310 s/step at χ=1024,
+                  populations within 9e-6 of exact); BENCH_PALLAS=0
+                  falls back to the planar-bf16 einsum
   BENCH_TP      — shard the TDVP state (cores + env blocks) over this
                   many devices on a "tp" mesh axis (parallel/bond_tp.py);
                   the χ>2048 HBM-capacity path — e.g. χ=4096 needs ~22 GB
@@ -149,7 +152,9 @@ def main() -> None:
         # χ=1024 — 1.695 → 1.397 s/step with electron populations
         # matching the exact-matvec run to 5e-6 (≤1e-5 bar)
         krylov_relaxed=os.environ.get("BENCH_RELAX", "1") != "0",
-        pallas_matvec=os.environ.get("BENCH_PALLAS", "0") != "0",
+        # pallas fused matvec default ON: 1.397 → 1.310 s/step at χ=1024
+        # (58.3 TFLOP/s) with populations within 9e-6 of exact matvecs
+        pallas_matvec=os.environ.get("BENCH_PALLAS", "1") != "0",
     )
     tp = int(os.environ.get("BENCH_TP", "0"))
     if tp > 1:
