@@ -152,9 +152,13 @@ def main() -> None:
         # χ=1024 — 1.695 → 1.397 s/step with electron populations
         # matching the exact-matvec run to 5e-6 (≤1e-5 bar)
         krylov_relaxed=os.environ.get("BENCH_RELAX", "1") != "0",
-        # pallas fused matvec default ON: 1.397 → 1.310 s/step at χ=1024
-        # (58.3 TFLOP/s) with populations within 9e-6 of exact matvecs
-        pallas_matvec=os.environ.get("BENCH_PALLAS", "1") != "0",
+        # pallas fused matvec default ON (TPU): 1.397 → 1.310 s/step at
+        # χ=1024 (58.3 TFLOP/s) with populations within 9e-6 of exact
+        # matvecs; on CPU the kernel would run in (slow) interpret mode,
+        # so default OFF there
+        pallas_matvec=os.environ.get(
+            "BENCH_PALLAS", "1" if on_tpu else "0"
+        ) != "0",
     )
     tp = int(os.environ.get("BENCH_TP", "0"))
     if tp > 1:
