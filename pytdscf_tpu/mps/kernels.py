@@ -83,6 +83,14 @@ CHQR_INVERSE = (
     and _os.environ.get("PYTDSCF_CHQR_SOLVE", "0") == "0"
 )
 
+#: Mixed-precision CholeskyQR (opt-in): run the Gram matmuls of every round
+#: EXCEPT the last at bf16x3 (HIGH) instead of f32-exact (HIGHEST = bf16x6).
+#: CholeskyQR³ is iterative refinement — early-round Gram errors are
+#: corrected by later rounds, and only the FINAL Gram sets the delivered
+#: orthogonality (mixed-precision CholeskyQR per Yamazaki et al. 2015).
+#: The q-updates (solve / inverse-matmul) stay exact in every round.
+CHQR_MIXED_GRAM = _os.environ.get("PYTDSCF_CHQR_MIXED", "0") == "1"
+
 
 def _cholesky_qr(
     m: jax.Array, shift_rel: float = 1.0e-06, iters: int = CHQR_ITERS
@@ -110,7 +118,12 @@ def _cholesky_qr(
     eps = jnp.finfo(m.real.dtype).eps
     noise_floor = 16.0 * jnp.sqrt(jnp.asarray(float(N), m.real.dtype)) * eps
     for it in range(iters):
-        g = jnp.einsum("ij,ik->jk", q.conj(), q, precision=PRECISION)
+        gram_prec = (
+            jax.lax.Precision.HIGH
+            if (CHQR_MIXED_GRAM and it < iters - 1)
+            else PRECISION
+        )
+        g = jnp.einsum("ij,ik->jk", q.conj(), q, precision=gram_prec)
         d = jnp.real(jnp.diag(g))
         # first round: Fukaya-style shift for near-singular live columns;
         # refinements: noise-floor shift only. Dead columns: unit diagonal.

@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# the environment pre-imports JAX, so JAX_PLATFORMS in os.environ can be
+# ignored — honor it via jax.config (same dance as bench.py)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_compilation_cache_dir",
                   f"/tmp/jaxcache-{jax.devices()[0].platform}")
 
@@ -32,8 +36,9 @@ def main() -> None:
     d = int(os.environ.get("MB_D", "4"))
     reps = int(os.environ.get("MB_REPS", "20"))
     variant = "solve" if not K.CHQR_INVERSE else "inverse"
+    gram = "mixed(bf16x3+final-exact)" if K.CHQR_MIXED_GRAM else "exact"
     print(f"chqr microbench: N={chi * d} r={chi} variant={variant} "
-          f"iters={K.CHQR_ITERS}", file=sys.stderr)
+          f"iters={K.CHQR_ITERS} gram={gram}", file=sys.stderr)
 
     rng = np.random.default_rng(0)
     # decaying Schmidt-like spectrum, representative conditioning
