@@ -60,6 +60,12 @@ def main() -> None:
     steps = int(os.environ.get("BENCH_STEPS", "100"))
     bond = int(os.environ.get("BENCH_BOND", "30"))
     scan = os.environ.get("BENCH_SCAN", "1") != "0"
+    # fused block driver: each timed block is ONE lax.fori_loop dispatch
+    # (propagate_steps), so per-dispatch tunnel latency — which varies
+    # ~0.5-10 ms with the axon VM's placement and dominates this
+    # dispatch-bound D=30 model at ~40+ dispatches/step — is paid once
+    # per block instead of dozens of times per step
+    fused = os.environ.get("BENCH_FUSED", "1") != "0"
 
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
@@ -101,7 +107,10 @@ def main() -> None:
         float(jnp.linalg.norm(engine.cores[0][0]).real)
 
     t0 = time.time()
-    engine.propagate(dt_au)
+    if fused:
+        engine.propagate_steps(dt_au, 1)
+    else:
+        engine.propagate(dt_au)
     sync()
     log(f"bench: warmup step (compile) {time.time() - t0:.1f} s")
 
@@ -112,8 +121,11 @@ def main() -> None:
     block_rates = []
     for b in range(blocks):
         t0 = time.time()
-        for _ in range(per_block):
-            engine.propagate(dt_au)
+        if fused:
+            engine.propagate_steps(dt_au, per_block)
+        else:
+            for _ in range(per_block):
+                engine.propagate(dt_au)
         sync()
         block_rates.append((time.time() - t0) / per_block)
     sec_per_step = float(np.median(block_rates))

@@ -683,6 +683,8 @@ class TDVPEngine:
         self._kry_warned = False
         #: running max gauge deviation (pytest_enabled self-checks)
         self._gauge_dev: jax.Array | None = None
+        #: fused multi-step programs per relax mode (:meth:`propagate_steps`)
+        self._fused_cache: dict[str, object] = {}
 
     # ---------------------------------------------------------- helpers
     def _trivial_block(self) -> tuple[jax.Array, ...]:
@@ -1261,6 +1263,132 @@ class TDVPEngine:
                 raise AssertionError(
                     f"gauge canonicality violated in sweep: max |Q†Q−I| "
                     f"= {dev:.3e} > {tol:.0e}"
+                )
+
+    # -------------------------------------------------- fused multi-step
+    def _fused_step_body(self, carry, Ws, scale, mode: str):
+        """One full TDVP step (fwd+bwd half-sweeps) as a pure carry map.
+
+        The engine state is swapped in from ``carry``, the existing
+        half-sweep code runs under the ambient trace, and the mutated
+        state is returned as a new carry.  The MPO cores travel in ``Ws``
+        (jit ARGUMENTS — captured complex device arrays would be
+        constant-folded through a host fetch, which this TPU backend
+        rejects).  The carry is shape-invariant across steps for the
+        fixed-rank sweep: a full step maps a right-canonical chain with a
+        right env stack onto the same structure.
+        """
+        cfg = self.config
+        cores_t, env_t, kry, ksite, gdev = carry
+        self.cores = [list(cs) for cs in cores_t]
+        self.env_stack = list(env_t)
+        self._env_side = "right"
+        self.W = {pair: Ws[q] for q, pair in enumerate(self.pairs)}
+        self._kry_sum = kry
+        self._kry_site = ksite if cfg.per_site_telemetry else None
+        self._gauge_dev = gdev if cfg.pytest_enabled else None
+        self._half_sweep(scale, forward=True, mode=mode)
+        self._half_sweep(scale, forward=False, mode=mode)
+        return (
+            tuple(tuple(cs) for cs in self.cores),
+            tuple(self.env_stack),
+            self._kry_sum,
+            self._kry_site if cfg.per_site_telemetry else ksite,
+            self._gauge_dev if cfg.pytest_enabled else gdev,
+        )
+
+    def propagate_steps(self, dt: float, nsteps: int) -> None:
+        """Run ``nsteps`` TDVP steps as ONE fused device program.
+
+        A ``lax.fori_loop`` over the full-step body: the driver issues a
+        single dispatch for the whole block, so per-call host↔device
+        latency (the axon-tunnel tax that dominates small-bond chains at
+        ~40+ dispatches/step) is paid once per BLOCK instead of dozens of
+        times per step.  ``nsteps`` is a dynamic argument — one
+        compilation serves every block length.
+
+        Requires the fixed-rank sweep (shape-invariant carry); adaptive
+        runs and open-system channels fall back to per-step
+        :meth:`propagate`.
+        """
+        cfg = self.config
+        if nsteps <= 0:
+            return
+        if cfg.adaptive:
+            for _ in range(nsteps):
+                self.propagate(dt)
+            return
+        mode = {"none": "prop", "imaginary": "imag", "improved": "improved"}[
+            cfg.relax
+        ]
+        if mode == "prop":
+            scale = dio.put(np.asarray(-0.5j * dt), self.dtype)
+        else:
+            scale = dio.put(np.asarray(-0.5 * dt), self.dtype)
+        if self.env_stack is None or self._env_side != "right":
+            self.env_stack = self.build_right_env_stack()
+            self._env_side = "right"
+        kry = (
+            self._kry_sum
+            if self._kry_sum is not None
+            else jnp.zeros((3,), jnp.int32)
+        )
+        if cfg.per_site_telemetry:
+            ksite = (
+                self._kry_site
+                if self._kry_site is not None
+                else jnp.zeros((self.nsite, 3), jnp.int32)
+            )
+        else:
+            ksite = jnp.zeros((1, 3), jnp.int32)
+        real_dtype = (
+            jnp.float32 if self.dtype == jnp.complex64 else jnp.float64
+        )
+        gdev = (
+            self._gauge_dev
+            if (cfg.pytest_enabled and self._gauge_dev is not None)
+            else jnp.zeros((), real_dtype)
+        )
+        carry = (
+            tuple(tuple(cs) for cs in self.cores),
+            tuple(self.env_stack),
+            kry,
+            ksite,
+            gdev,
+        )
+        Ws = tuple(self.W[pair] for pair in self.pairs)
+        fn = self._fused_cache.get(mode)
+        if fn is None:
+            def run(carry, Ws, scale, n):
+                def body(_, c):
+                    return self._fused_step_body(c, Ws, scale, mode)
+
+                return jax.lax.fori_loop(0, n, body, carry)
+
+            fn = jax.jit(run)
+            self._fused_cache[mode] = fn
+        saved = (self.cores, self.env_stack, self.W)
+        try:
+            out = fn(carry, Ws, scale, jnp.asarray(nsteps, jnp.int32))
+        finally:
+            # tracing mutates self via _fused_step_body; restore concrete
+            # state before installing the outputs
+            self.cores, self.env_stack, self.W = saved
+        cores_t, env_t, kry, ksite, gdev = out
+        self.cores = [list(cs) for cs in cores_t]
+        self.env_stack = list(env_t)
+        self._env_side = "right"
+        self._kry_sum = kry
+        if cfg.per_site_telemetry:
+            self._kry_site = ksite
+        if cfg.pytest_enabled:
+            dev = float(np.asarray(dio.fetch(gdev)))
+            self._gauge_dev = None
+            tol = 1e-05 if self.dtype == jnp.complex64 else 1e-09
+            if dev > tol:
+                raise AssertionError(
+                    f"gauge canonicality violated in fused sweep: max "
+                    f"|Q†Q−I| = {dev:.3e} > {tol:.0e}"
                 )
 
     # ------------------------------------------------- open-system channels
