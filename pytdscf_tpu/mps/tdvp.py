@@ -1266,7 +1266,7 @@ class TDVPEngine:
                 )
 
     # -------------------------------------------------- fused multi-step
-    def _fused_step_body(self, carry, Ws, scale, mode: str):
+    def _fused_step_body(self, carry, Ws, scale, mode: str, collect=None):
         """One full TDVP step (fwd+bwd half-sweeps) as a pure carry map.
 
         The engine state is swapped in from ``carry``, the existing
@@ -1277,6 +1277,10 @@ class TDVPEngine:
         rejects).  The carry is shape-invariant across steps for the
         fixed-rank sweep: a full step maps a right-canonical chain with a
         right env stack onto the same structure.
+
+        ``collect``, if given, is called on the swapped-in PRE-step state
+        (the driver's properties-then-propagate ordering) and its result
+        is returned as the second element.
         """
         cfg = self.config
         cores_t, env_t, kry, ksite, gdev = carry
@@ -1287,15 +1291,17 @@ class TDVPEngine:
         self._kry_sum = kry
         self._kry_site = ksite if cfg.per_site_telemetry else None
         self._gauge_dev = gdev if cfg.pytest_enabled else None
+        ys = collect() if collect is not None else None
         self._half_sweep(scale, forward=True, mode=mode)
         self._half_sweep(scale, forward=False, mode=mode)
-        return (
+        carry_out = (
             tuple(tuple(cs) for cs in self.cores),
             tuple(self.env_stack),
             self._kry_sum,
             self._kry_site if cfg.per_site_telemetry else ksite,
             self._gauge_dev if cfg.pytest_enabled else gdev,
         )
+        return carry_out, ys
 
     def propagate_steps(self, dt: float, nsteps: int) -> None:
         """Run ``nsteps`` TDVP steps as ONE fused device program.
@@ -1318,13 +1324,41 @@ class TDVPEngine:
             for _ in range(nsteps):
                 self.propagate(dt)
             return
+        mode, scale = self._fused_mode_scale(dt)
+        carry = self._fused_carry()
+        Ws = tuple(self.W[pair] for pair in self.pairs)
+        fn = self._fused_cache.get(mode)
+        if fn is None:
+            def run(carry, Ws, scale, n):
+                def body(_, c):
+                    return self._fused_step_body(c, Ws, scale, mode)[0]
+
+                return jax.lax.fori_loop(0, n, body, carry)
+
+            fn = jax.jit(run)
+            self._fused_cache[mode] = fn
+        saved = (self.cores, self.env_stack, self.W)
+        try:
+            out = fn(carry, Ws, scale, jnp.asarray(nsteps, jnp.int32))
+        finally:
+            # tracing mutates self via _fused_step_body; restore concrete
+            # state before installing the outputs
+            self.cores, self.env_stack, self.W = saved
+        self._fused_install(out)
+
+    def _fused_mode_scale(self, dt: float):
         mode = {"none": "prop", "imaginary": "imag", "improved": "improved"}[
-            cfg.relax
+            self.config.relax
         ]
         if mode == "prop":
             scale = dio.put(np.asarray(-0.5j * dt), self.dtype)
         else:
             scale = dio.put(np.asarray(-0.5 * dt), self.dtype)
+        return mode, scale
+
+    def _fused_carry(self):
+        """Shape-invariant step carry from the current engine state."""
+        cfg = self.config
         if self.env_stack is None or self._env_side != "right":
             self.env_stack = self.build_right_env_stack()
             self._env_side = "right"
@@ -1349,31 +1383,17 @@ class TDVPEngine:
             if (cfg.pytest_enabled and self._gauge_dev is not None)
             else jnp.zeros((), real_dtype)
         )
-        carry = (
+        return (
             tuple(tuple(cs) for cs in self.cores),
             tuple(self.env_stack),
             kry,
             ksite,
             gdev,
         )
-        Ws = tuple(self.W[pair] for pair in self.pairs)
-        fn = self._fused_cache.get(mode)
-        if fn is None:
-            def run(carry, Ws, scale, n):
-                def body(_, c):
-                    return self._fused_step_body(c, Ws, scale, mode)
 
-                return jax.lax.fori_loop(0, n, body, carry)
-
-            fn = jax.jit(run)
-            self._fused_cache[mode] = fn
-        saved = (self.cores, self.env_stack, self.W)
-        try:
-            out = fn(carry, Ws, scale, jnp.asarray(nsteps, jnp.int32))
-        finally:
-            # tracing mutates self via _fused_step_body; restore concrete
-            # state before installing the outputs
-            self.cores, self.env_stack, self.W = saved
+    def _fused_install(self, out) -> None:
+        """Install a fused-run output carry as the engine state."""
+        cfg = self.config
         cores_t, env_t, kry, ksite, gdev = out
         self.cores = [list(cs) for cs in cores_t]
         self.env_stack = list(env_t)
@@ -1390,6 +1410,72 @@ class TDVPEngine:
                     f"gauge canonicality violated in fused sweep: max "
                     f"|Q†Q−I| = {dev:.3e} > {tol:.0e}"
                 )
+
+    def propagate_steps_collect(
+        self,
+        dt: float,
+        nsteps: int,
+        *,
+        operator=None,
+        autocorr: bool = True,
+        energy: bool = True,
+        norm: bool = True,
+        populations: bool = True,
+    ):
+        """Run ``nsteps`` fused TDVP steps AND collect per-step properties.
+
+        One ``lax.scan`` dispatch covers the whole block: each iteration
+        submits the requested observables of its PRE-step state (matching
+        the driver's properties-then-propagate ordering,
+        ``simulator.py:_execute``) and then advances one step.  Returns
+        ``(stacked_items, plan)``: ``stacked_items[i]`` carries a leading
+        ``nsteps`` axis (row ``t`` = observable before step ``t``), and
+        ``plan`` is the static decode plan for :meth:`properties_resolve`
+        applied row-wise.  ``nsteps`` is static here (the scan length), so
+        drivers should use a fixed block size.
+        """
+        cfg = self.config
+        if cfg.adaptive:
+            raise NotImplementedError(
+                "fused property collection requires the fixed-rank sweep"
+            )
+        mode, scale = self._fused_mode_scale(dt)
+        carry = self._fused_carry()
+        Ws = tuple(self.W[pair] for pair in self.pairs)
+        key = (mode, nsteps, operator is None, autocorr, energy, norm,
+               populations)
+        cached = self._fused_cache.get(key)
+        if cached is None:
+            plan_box: list = []
+
+            def collect():
+                items, plan = self.properties_submit(
+                    operator,
+                    autocorr=autocorr, energy=energy,
+                    norm=norm, populations=populations,
+                )
+                if not plan_box:
+                    plan_box.append(plan)
+                return tuple(items)
+
+            def run(carry, Ws, scale):
+                def body(c, _):
+                    return self._fused_step_body(
+                        c, Ws, scale, mode, collect=collect
+                    )
+
+                return jax.lax.scan(body, carry, None, length=nsteps)
+
+            cached = (jax.jit(run), plan_box)
+            self._fused_cache[key] = cached
+        fn, plan_box = cached
+        saved = (self.cores, self.env_stack, self.W)
+        try:
+            out, ys = fn(carry, Ws, scale)
+        finally:
+            self.cores, self.env_stack, self.W = saved
+        self._fused_install(out)
+        return list(ys), plan_box[0]
 
     # ------------------------------------------------- open-system channels
     def apply_one_gate(self, gate) -> None:

@@ -349,6 +349,64 @@ class Properties:
                 rec["bonddim"], {}, *rec["export"],
             )
 
+    def run_fused_block(
+        self,
+        dt_au: float,
+        nsteps: int,
+        *,
+        autocorr: bool,
+        energy: bool,
+        norm: bool,
+        populations: bool,
+        export: tuple[int, int, int] = (1, 1, 1),
+    ) -> None:
+        """Propagate ``nsteps`` as ONE fused device program and write the
+        per-step .dat rows.
+
+        Wraps :meth:`TDVPEngine.propagate_steps_collect`: the whole block
+        is a single dispatch whose scan collects each step's PRE-step
+        observables, then everything is resolved with one packed fetch —
+        rows are identical to the per-step driver, but the host↔device
+        round trips per block drop from ~(dispatches/step × nsteps) + 1
+        to 2."""
+        from pytdscf_tpu.mps import device_io as dio
+
+        self.flush()
+        items, plan = self.engine.propagate_steps_collect(
+            dt_au, nsteps,
+            operator=self.model.hamiltonian,
+            autocorr=autocorr, energy=energy,
+            norm=norm, populations=populations,
+        )
+        bonddim = (
+            self.engine.bond_dims()
+            if hasattr(self.engine, "bond_dims")
+            else None
+        )
+        vals = dio.fetch_many(items, self.engine.fetch_real_dtype())
+        for t in range(nsteps):
+            out = self.engine.properties_resolve(
+                [v[t] for v in vals], plan,
+                norm=norm, populations=populations,
+            )
+            if autocorr:
+                self.autocorr = out["autocorr"]
+            if energy:
+                self.energy = out["energy"].real
+            if norm:
+                self.norm = out["norm"]
+                self._check_norm_drift(self.nstep)
+            if populations:
+                self.pops = out["populations"]
+            self.bonddim = bonddim
+            self._write_rows(
+                self.get_time_display(), self.nstep,
+                self.autocorr if autocorr else None,
+                self.pops if populations else None,
+                bonddim, {}, *export,
+            )
+            self.update(dt_au)
+
     def _check_norm_drift(self, nstep: int) -> None:
         if (
             self.config.conserve_norm

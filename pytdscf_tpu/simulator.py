@@ -586,72 +586,171 @@ class Simulator:
         )
         self._save(engine, config.jobname, savefile_ext)
         logger.info(f"Start initial step  0.000 [{config.display_time_unit}]")
-        cmf_guess_au = None
-        for istep in range(maxstep):
-            with diag.timer("props"):
-                props.get_properties(
-                autocorr=autocorr,
-                energy=energy,
-                norm=norm,
-                populations=populations,
-                observables=observables,
+        cmf_state: list = [None]  # CMF step-size guess, grown across steps
+        # Fused block driver: when per-step observability allows it, a
+        # fetch_stride-long block of steps runs as ONE device program with
+        # the per-step properties collected in-scan (propagate_steps_collect)
+        # — rows identical to the per-step loop, host round trips per block
+        # drop to 2.  Gated on fetch_stride>1 so complex128 CPU regression
+        # runs (stride 1) keep the bit-stable per-step programs.
+        fused_blocks = (
+            config.fetch_stride > 1
+            and not config.cmf
+            and not config.adaptive
+            and self.model.one_gate_to_apply is None
+            and self.model.kraus_op is None
+            and self.model.build_td_hamiltonian is None
+            and parallel_split_indices is None
+            and bond_tp_devices is None
+            and hasattr(engine, "propagate_steps_collect")
+            and not (observables and bool(self.model.observables))
+            and reduced_density is None
+            and (self.t2_trick or not autocorr)
+            and autocorr_per_step == 1
+            and energy_per_step == 1
+            and norm_per_step == 1
+            and populations_per_step == 1
+            and (autocorr or energy or norm or populations)
+        )
+        istep = 0
+        while istep < maxstep:
+            # distance to the next backup step (its pre-step state must be
+            # checkpointed inline, so fused blocks never span it)
+            till_backup = (
+                backup_interval - 1 - (istep % backup_interval)
+            ) % backup_interval
+            nblock = min(
+                config.fetch_stride,
+                maxstep - istep,
+                till_backup if till_backup > 0 else 1,
+            )
+            if fused_blocks and nblock > 1:
+                with diag.timer("sweep"):
+                    props.run_fused_block(
+                        dt_au, nblock,
+                        autocorr=autocorr, energy=energy,
+                        norm=norm, populations=populations,
+                    )
+                for _ in range(nblock):
+                    diag.count("steps")
+                istep += nblock
+                if istep % 100 < nblock and self.verbose > 1:
+                    kry = (
+                        f"  AVG Krylov = {engine.krylov_average():.2f}"
+                        if hasattr(engine, "krylov_average")
+                        else ""
+                    )
+                    logger.info(
+                        f"End {istep - 1:5d} step; propagated "
+                        f"{props.get_time_display():8.3f} "
+                        f"[{config.display_time_unit}]  | {diag.report()}{kry}"
+                    )
+                continue
+            self._step_inline(
+                engine, props, diag, config, dt_au, istep, logger,
+                savefile_ext=savefile_ext,
+                backup_interval=backup_interval,
+                autocorr=autocorr, energy=energy, norm=norm,
+                populations=populations, observables=observables,
                 autocorr_per_step=autocorr_per_step,
                 energy_per_step=energy_per_step,
                 norm_per_step=norm_per_step,
                 populations_per_step=populations_per_step,
                 observables_per_step=observables_per_step,
-                )
-            props.export_properties(
-                autocorr_per_step=autocorr_per_step,
-                populations_per_step=populations_per_step,
-                observables_per_step=observables_per_step,
+                cmf_state=cmf_state,
             )
-            if istep % backup_interval == backup_interval - 1:
-                # keep .dat rows consistent with the checkpoint on restart
-                props.flush()
-                self._save(engine, config.jobname, savefile_ext)
-            if self.model.build_td_hamiltonian is not None:
-                engine.set_hamiltonian(
-                    self.model.build_td_hamiltonian(props.time + dt_au / 2)
-                )
-            with diag.timer("sweep"):
-                if config.cmf:
-                    if not hasattr(engine, "propagate_CMF"):
-                        raise NotImplementedError(
-                            "CMF propagation requires ci_type='mctdh'"
-                        )
-                    # reference seeds the guess at 1e-3 fs
-                    # (simulator_cls.py:393) and each step returns the
-                    # grown/shrunk guess for the next one
-                    if cmf_guess_au is None:
-                        cmf_guess_au = min(
-                            1.0e-3 / units.au_in_fs, config.max_stepsize
-                        )
-                    dt_actual, cmf_guess_au = engine.propagate_CMF(
-                        cmf_guess_au
-                    )
-                else:
-                    engine.propagate(
-                        dt_au,
-                        one_gate_to_apply=self.model.one_gate_to_apply,
-                        kraus_op=self.model.kraus_op,
-                    )
-                    dt_actual = dt_au
-            diag.count("steps")
-            props.update(dt_actual)
-            if istep % 100 == 1 and self.verbose > 1:
-                kry = (
-                    f"  AVG Krylov = {engine.krylov_average():.2f}"
-                    if hasattr(engine, "krylov_average")
-                    else ""
-                )
-                logger.info(
-                    f"End {istep - 1:5d} step; propagated "
-                    f"{props.get_time_display():8.3f} "
-                    f"[{config.display_time_unit}]  | {diag.report()}{kry}"
-                )
+            istep += 1
         logger.info(f"End simulation and save wavefunction | {diag.report()}")
         props.flush()
         self._save(engine, config.jobname, savefile_ext)
         props.close()
         return props.energy, WaveFunction(engine, self.model)
+
+    def _step_inline(
+        self,
+        engine,
+        props,
+        diag,
+        config: Config,
+        dt_au: float,
+        istep: int,
+        logger,
+        *,
+        savefile_ext: str,
+        backup_interval: int,
+        autocorr: bool,
+        energy: bool,
+        norm: bool,
+        populations: bool,
+        observables: bool,
+        autocorr_per_step: int,
+        energy_per_step: int,
+        norm_per_step: int,
+        populations_per_step: int,
+        observables_per_step: int,
+        cmf_state: list,
+    ) -> None:
+        """One per-step driver iteration (the original reference ordering:
+        properties → export → backup → TD-H → propagate → update)."""
+        with diag.timer("props"):
+            props.get_properties(
+            autocorr=autocorr,
+            energy=energy,
+            norm=norm,
+            populations=populations,
+            observables=observables,
+            autocorr_per_step=autocorr_per_step,
+            energy_per_step=energy_per_step,
+            norm_per_step=norm_per_step,
+            populations_per_step=populations_per_step,
+            observables_per_step=observables_per_step,
+            )
+        props.export_properties(
+            autocorr_per_step=autocorr_per_step,
+            populations_per_step=populations_per_step,
+            observables_per_step=observables_per_step,
+        )
+        if istep % backup_interval == backup_interval - 1:
+            # keep .dat rows consistent with the checkpoint on restart
+            props.flush()
+            self._save(engine, config.jobname, savefile_ext)
+        if self.model.build_td_hamiltonian is not None:
+            engine.set_hamiltonian(
+                self.model.build_td_hamiltonian(props.time + dt_au / 2)
+            )
+        with diag.timer("sweep"):
+            if config.cmf:
+                if not hasattr(engine, "propagate_CMF"):
+                    raise NotImplementedError(
+                        "CMF propagation requires ci_type='mctdh'"
+                    )
+                # reference seeds the guess at 1e-3 fs
+                # (simulator_cls.py:393) and each step returns the
+                # grown/shrunk guess for the next one
+                if cmf_state[0] is None:
+                    cmf_state[0] = min(
+                        1.0e-3 / units.au_in_fs, config.max_stepsize
+                    )
+                dt_actual, cmf_state[0] = engine.propagate_CMF(
+                    cmf_state[0]
+                )
+            else:
+                engine.propagate(
+                    dt_au,
+                    one_gate_to_apply=self.model.one_gate_to_apply,
+                    kraus_op=self.model.kraus_op,
+                )
+                dt_actual = dt_au
+        diag.count("steps")
+        props.update(dt_actual)
+        if istep % 100 == 1 and self.verbose > 1:
+            kry = (
+                f"  AVG Krylov = {engine.krylov_average():.2f}"
+                if hasattr(engine, "krylov_average")
+                else ""
+            )
+            logger.info(
+                f"End {istep - 1:5d} step; propagated "
+                f"{props.get_time_display():8.3f} "
+                f"[{config.display_time_unit}]  | {diag.report()}{kry}"
+            )
