@@ -135,12 +135,26 @@ def _lanczos_loop(matvec, v0, scale, thresh, k_max, n, dtype, indexed=False):
         beta = beta.at[k].set(b)
         # Active-block tridiagonal, padded with exact zeros.  The reference
         # takes Re(α) in its Hermitian path (``_integrator.py:590-592``).
-        d_mask = (idx_d <= k).astype(dtype)
-        o_mask = (idx_o < k).astype(jnp.float64)
-        off = (beta[:-1] * o_mask).astype(dtype)
-        diag = alpha.real.astype(dtype) * d_mask
+        # T in the state's REAL precision (f32 for complex64 — f64 would
+        # hit the TPU's emulated-double path; β is accumulated in f64 but
+        # the reduced matrix only needs the working precision)
+        real = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+        d_mask = (idx_d <= k).astype(real)
+        o_mask = (idx_o < k).astype(real)
+        off = beta[:-1].astype(real) * o_mask
+        diag = alpha.real.astype(real) * d_mask
         T = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
-        c = expm(scale * T)[:, 0]
+        # exp(scale·T)e₀ via the REAL-symmetric eigendecomposition — exact
+        # (T is Hermitian by construction) and ~1.5× cheaper on TPU than
+        # the general Padé expm, whose ~100 tiny ops dominate the
+        # small-bond per-iteration cost.  Zero-padded dims are decoupled
+        # (block-diagonal), and exact/near degeneracy with active
+        # eigenvalues is harmless: within a degenerate subspace
+        # exp(scale·λ) is constant, so the basis mixing cancels in
+        # U·exp(scale·Λ)·Uᵀe₀.
+        w_e, U = jnp.linalg.eigh(T)
+        c = (U.astype(dtype) * jnp.exp(
+            scale * w_e.astype(dtype))[None, :]) @ U[0].astype(dtype)
         psi_next = c @ V[:k_max]
         err = jnp.linalg.norm(psi_next - psi_prev)
         conv = (k > 0) & (err < thresh)
