@@ -74,6 +74,16 @@ class Config:
     #: whose bonds divide the 128-tile grid (edges fall back to the planar
     #: einsum path).  Requires ``krylov_relaxed=True`` to have any effect.
     pallas_matvec: bool = False
+    #: Single-kernel pallas Lanczos for the Krylov exponentials at SMALL
+    #: local dimension (``mps/pallas_lanczos.py``): the whole
+    #: recurrence + tridiagonal exponential + convergence rule runs as one
+    #: TPU program, removing the per-op sequencing that dominates the
+    #: small-bond regime.  Engages only on the TPU backend, for Lanczos
+    #: (Hermitian) updates of single-pair states at full matvec precision;
+    #: everything else falls back to the XLA path.  Numerics: planar-f32
+    #: HIGHEST matmuls (f32-exact) with a substepped-Taylor exponential —
+    #: agrees with the XLA path to ~1e-7 with identical stopping.
+    pallas_site: bool = True
     #: Fixed scan-run chunk length: every distinct scan length compiles
     #: its own XLA program, so uniform runs are cut into scan_chunk-sized
     #: pieces sharing one compilation (remainders go per-site).

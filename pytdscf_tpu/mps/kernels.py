@@ -91,6 +91,11 @@ CHQR_INVERSE = (
 #: The q-updates (solve / inverse-matmul) stay exact in every round.
 CHQR_MIXED_GRAM = _os.environ.get("PYTDSCF_CHQR_MIXED", "0") == "1"
 
+#: Force the pallas MGS gauge kernel on non-TPU backends (interpret-mode
+#: testing) / disable it everywhere.
+_PALLAS_QR_FORCE = _os.environ.get("PYTDSCF_PLZ_FORCE", "0") == "1"
+_PALLAS_QR_OFF = _os.environ.get("PYTDSCF_PALLAS_QR", "1") == "0"
+
 
 def _cholesky_qr(
     m: jax.Array, shift_rel: float = 1.0e-06, iters: int = CHQR_ITERS
@@ -171,11 +176,20 @@ def thin_qr(mat: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def _thin_qr(mat: jax.Array) -> tuple[jax.Array, jax.Array]:
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and not _PALLAS_QR_FORCE:
         return jnp.linalg.qr(mat)
     N, r = mat.shape
     if r >= CHOLESKY_QR_MIN_R and N >= r:
         return _cholesky_qr(mat)
+    if (
+        jax.default_backend() == "tpu" or _PALLAS_QR_FORCE
+    ) and not _PALLAS_QR_OFF:
+        from pytdscf_tpu.mps import pallas_qr as PQ
+
+        if PQ.fits(N, r):
+            # same MGS(×2) algorithm as ONE pallas program (~30-60 µs vs
+            # ~250 µs of per-op XLA dispatches at (240, 30))
+            return PQ.mgs_qr_fused(mat)
     return _mgs_qr(mat)
 
 

@@ -23,9 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+
 from pytdscf_tpu.config import Config
 from pytdscf_tpu.mps import device_io as dio
 from pytdscf_tpu.mps import kernels as K
+from pytdscf_tpu.mps import pallas_lanczos as PLZ
 from pytdscf_tpu.mps.integrator import krylov_expm, lanczos_ground_state
 
 Pair = tuple[int, int]
@@ -187,6 +190,7 @@ def _site_step_impl(
     env_prec: str = "highest",
     relaxed: bool = False,
     pallas: bool = False,
+    pallas_small: bool = False,
 ):
     """One fused TDVP site update.  Returns (site_out, psi_next, blocks_new).
 
@@ -194,6 +198,11 @@ def _site_step_impl(
     ``Ls``/``Ws``/``Rs``: tuples over ``pairs`` — left block, MPO core at this
     site, right block.  For the *backward* direction Ls/Rs swap roles
     (Ls = blocks on the A side being consumed, Rs = growing env).
+
+    ``pallas_small``: run the Lanczos Krylov exponentials through the
+    single-kernel pallas program (``mps/pallas_lanczos.py``) when the
+    site fits — the small-bond regime where XLA's per-op sequencing
+    dominates.  Requires a single state pair, Lanczos, full precision.
     """
     dtype = psis[0].dtype
     shapes = tuple(p.shape for p in psis)
@@ -202,6 +211,15 @@ def _site_step_impl(
     if lRs is None:
         lRs = tuple(jnp.asarray(0.0, jnp.float32) for _ in pairs)
     hfacs = tuple(jnp.exp(lL + lR) for lL, lR in zip(lLs, lRs))
+    use_plz = (
+        pallas_small
+        and not arnoldi
+        and not relaxed
+        and mode != "improved"
+        and nstate == 1
+        and mv_prec == "highest"
+        and PLZ.fits(shapes[0], Ws[0].shape, max_dim)
+    )
     hmv = _make_hmatvec(
         pairs, Ls, Ws, Rs, shapes, nstate, dtype, hfacs, prec=mv_prec
     )
@@ -222,6 +240,16 @@ def _site_step_impl(
     kry_count = jnp.zeros((3,), jnp.int32)
     if mode == "improved":
         vec_new = _ground_state_multi(hmv, vec)
+    elif use_plz:
+        ch = PLZ.heff_channels(Ls[0], Ws[0], Rs[0], hfacs[0])
+        vec_new, k_used, k_bad = PLZ.lanczos_expm_fused(
+            ch, vec, shapes[0], scale, thresh, max_dim,
+            conserve_norm or mode == "imag",
+        )
+        kry_count = kry_count + jnp.stack(
+            [k_used.astype(jnp.int32), jnp.asarray(1, jnp.int32),
+             k_bad.astype(jnp.int32)]
+        )
     else:
         vec_new, k_used, k_bad = krylov_expm(
             hmv,
@@ -287,17 +315,25 @@ def _site_step_impl(
             if relaxed
             else None
         )
-        svec, k_used2, k_bad2 = krylov_expm(
-            kmv,
-            K.stack_states(svals),
-            -scale,
-            thresh,
-            max_dim=max_dim,
-            conserve_norm=conserve_norm or mode == "imag",
-            arnoldi=arnoldi,
-            return_iterations=True,
-            matvec_lo=kmv_lo,
-        )
+        kshape3 = (sshapes[0][0], 1, sshapes[0][1])
+        if use_plz and PLZ.fits(kshape3, None, max_dim):
+            kch = PLZ.keff_channels(kLs[0], kRs[0], kfacs[0])
+            svec, k_used2, k_bad2 = PLZ.lanczos_expm_fused(
+                kch, K.stack_states(svals), kshape3, -scale,
+                thresh, max_dim, conserve_norm or mode == "imag",
+            )
+        else:
+            svec, k_used2, k_bad2 = krylov_expm(
+                kmv,
+                K.stack_states(svals),
+                -scale,
+                thresh,
+                max_dim=max_dim,
+                conserve_norm=conserve_norm or mode == "imag",
+                arnoldi=arnoldi,
+                return_iterations=True,
+                matvec_lo=kmv_lo,
+            )
         kry_count = kry_count + jnp.stack(
             [k_used2.astype(jnp.int32), jnp.asarray(1, jnp.int32),
              k_bad2.astype(jnp.int32)]
@@ -330,6 +366,7 @@ _site_step = partial(
         "env_prec",
         "relaxed",
         "pallas",
+        "pallas_small",
     ),
 )(_site_step_impl)
 
@@ -348,6 +385,7 @@ _site_step = partial(
         "env_prec",
         "relaxed",
         "pallas",
+        "pallas_small",
     ),
 )
 def _scan_site_steps(
@@ -372,6 +410,7 @@ def _scan_site_steps(
     env_prec: str = "highest",
     relaxed: bool = False,
     pallas: bool = False,
+    pallas_small: bool = False,
 ):
     """A RUN of uniform-shape site steps as ONE ``lax.scan`` program.
 
@@ -396,7 +435,7 @@ def _scan_site_steps(
             conserve_norm=conserve_norm, arnoldi=arnoldi,
             max_dim=max_dim, last=False, forward=forward,
             mv_prec=mv_prec, env_prec=env_prec, relaxed=relaxed,
-            pallas=pallas,
+            pallas=pallas, pallas_small=pallas_small,
         )
         return (
             (psi_next, blocks_new, logs_new, kry_sum + kry),
@@ -825,6 +864,11 @@ class TDVPEngine:
             env_prec=cfg.env_precision,
             relaxed=cfg.krylov_relaxed,
             pallas=cfg.pallas_matvec,
+            pallas_small=(
+                cfg.pallas_site
+                and (jax.default_backend() == "tpu"
+                     or _os.environ.get("PYTDSCF_PLZ_FORCE") == "1")
+            ),
         )
         pos = 0
         while pos < len(order):
