@@ -66,6 +66,11 @@ def main() -> None:
     # dispatch-bound D=30 model at ~40+ dispatches/step — is paid once
     # per block instead of dozens of times per step
     fused = os.environ.get("BENCH_FUSED", "1") != "0"
+    # pallas site kernels (Lanczos krylov_expm + MGS gauge); BENCH_PLZ=0
+    # reverts to the XLA per-op path for A/B
+    plz = os.environ.get("BENCH_PLZ", "1") != "0"
+    if os.environ.get("BENCH_PLZ") == "0":
+        os.environ["PYTDSCF_PALLAS_QR"] = "0"
 
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
@@ -94,6 +99,7 @@ def main() -> None:
         max_krylov=int(os.environ.get("BENCH_KRYLOV", "10")),
         dtype=dtype,
         scan_sweep=scan,
+        pallas_site=plz,
     )
     engine = TDVPEngine(cores, ham, config)
     dt_au = 0.2 / units.au_in_fs
