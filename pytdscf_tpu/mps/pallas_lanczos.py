@@ -88,41 +88,20 @@ def _cmm(ar, ai, br, bi):
     )
 
 
-def _lanczos_kernel(
-    scal_ref,   # SMEM (4,): scale_re, scale_im, thresh, conserve flag
-    vre_ref,    # VMEM (M, r) UNNORMALISED start vector, real plane
-    vim_ref,    # VMEM (M, r) imaginary plane
-    hre_ref,    # VMEM (nc, M, M) channel matrices H_c, real plane
-    him_ref,    # VMEM (nc, M, M) imaginary plane
-    rre_ref,    # VMEM (nc, r, r) transposed right channels R_cᵀ, real
-    rim_ref,    # VMEM (nc, r, r) imaginary
-    ore_ref,    # VMEM (M, r) ψ_next real plane (norm handling applied)
-    oim_ref,    # VMEM (M, r) imaginary plane
-    stat_ref,   # VMEM (1, 2) i32: k_used, bad
-    V_ref,      # scratch VMEM (kmax+1, 2, M, r) Krylov vectors
-    prev_ref,   # scratch VMEM (2, M, r) previous ψ iterate
-    ab_ref,     # scratch VMEM (4, KPAD): alpha_re, alpha_im, beta, e0 row
-    flag_ref,   # scratch SMEM (4,) f32: done, bad, k_fin, beta_prev
-    *,
-    kmax: int,
-    nc: int,
+def _lanczos_phase(
+    matvec, v0re, v0im, V_ref, prev_ref, ab_ref, flag_ref,
+    sre, sim, thresh, kmax: int, fac=None,
 ):
-    sre = scal_ref[0]
-    sim = scal_ref[1]
-    thresh = scal_ref[2]
-    conserve = scal_ref[3]
+    """Run the full SIL loop; leaves ψ(k_fin) in ``prev_ref`` and
+    (done, bad, k_fin, beta_prev) in ``flag_ref[0:4]``.
 
-    # zero-init the WHOLE Krylov scratch: ψ(k) sums all kmax rows with
-    # exact-zero coefficients beyond the active block, and 0 × garbage
-    # (uninitialised scratch can hold NaN) would poison the convergence
-    # norm
+    ``matvec(vre, vim) -> (wre, wim)`` is a trace-time closure; ``fac``
+    (optional real scalar) scales the operator.  The scratch refs are
+    (re)initialised here, so one kernel can run several phases.
+    ``v0re``/``v0im`` must be NORMALISED."""
     V_ref[:] = jnp.zeros_like(V_ref)
-    beta0 = jnp.sqrt(
-        jnp.sum(vre_ref[:] * vre_ref[:] + vim_ref[:] * vim_ref[:])
-    )
-    b0inv = 1.0 / beta0
-    V_ref[0, 0] = vre_ref[:] * b0inv
-    V_ref[0, 1] = vim_ref[:] * b0inv
+    V_ref[0, 0] = v0re
+    V_ref[0, 1] = v0im
     prev_ref[:] = jnp.zeros_like(prev_ref)
     ab_ref[:] = jnp.zeros_like(ab_ref)
     flag_ref[0] = 0.0  # done
@@ -137,14 +116,10 @@ def _lanczos_kernel(
         def _body():
             vre = V_ref[k, 0]
             vim = V_ref[k, 1]
-            # ---- matvec: w = Σ_c H_c (v Rt_c)
-            wre = jnp.zeros_like(vre)
-            wim = jnp.zeros_like(vim)
-            for c in range(nc):
-                tre, tim = _cmm(vre, vim, rre_ref[c], rim_ref[c])
-                ure, uim = _cmm(hre_ref[c], him_ref[c], tre, tim)
-                wre = wre + ure
-                wim = wim + uim
+            wre, wim = matvec(vre, vim)
+            if fac is not None:
+                wre = wre * fac
+                wim = wim * fac
             # ---- oblique alpha = <v0|w>
             v0re = V_ref[0, 0]
             v0im = V_ref[0, 1]
@@ -180,8 +155,8 @@ def _lanczos_kernel(
             b_by_j = jnp.broadcast_to(brow, (_KPAD, _KPAD))
             # symmetric tridiagonal: T[j+1,j] = T[j,j+1] = beta_j.  The
             # superdiagonal needs beta_{j-1} BY COLUMN — produced with a
-            # lane shift via the shift matrix (no in-kernel transpose,
-            # which Mosaic rejects): (brow @ S)[j] = brow[j-1].
+            # lane shift via the shift matrix (no in-kernel transpose of
+            # broadcasts): (brow @ S)[j] = brow[j-1].
             shift = (j2 == i2 + 1).astype(F32)
             bshift = jnp.broadcast_to(_mm(brow, shift), (_KPAD, _KPAD))
             T = (
@@ -249,6 +224,51 @@ def _lanczos_kernel(
     # traces as i64, and Mosaic's i64 convert rule recurses infinitely
     jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(kmax), iteration, jnp.int32(0)
+    )
+
+
+def _lanczos_kernel(
+    scal_ref,   # SMEM (4,): scale_re, scale_im, thresh, conserve flag
+    vre_ref,    # VMEM (M, r) UNNORMALISED start vector, real plane
+    vim_ref,    # VMEM (M, r) imaginary plane
+    hre_ref,    # VMEM (nc, M, M) channel matrices H_c, real plane
+    him_ref,    # VMEM (nc, M, M) imaginary plane
+    rre_ref,    # VMEM (nc, r, r) transposed right channels R_cᵀ, real
+    rim_ref,    # VMEM (nc, r, r) imaginary
+    ore_ref,    # VMEM (M, r) ψ_next real plane (norm handling applied)
+    oim_ref,    # VMEM (M, r) imaginary plane
+    stat_ref,   # VMEM (1, 2) i32: k_used, bad
+    V_ref,      # scratch VMEM (kmax+1, 2, M, r) Krylov vectors
+    prev_ref,   # scratch VMEM (2, M, r) previous ψ iterate
+    ab_ref,     # scratch VMEM (4, KPAD): alpha_re, alpha_im, beta, e0 row
+    flag_ref,   # scratch SMEM (4,) f32: done, bad, k_fin, beta_prev
+    *,
+    kmax: int,
+    nc: int,
+):
+    sre = scal_ref[0]
+    sim = scal_ref[1]
+    thresh = scal_ref[2]
+    conserve = scal_ref[3]
+
+    beta0 = jnp.sqrt(
+        jnp.sum(vre_ref[:] * vre_ref[:] + vim_ref[:] * vim_ref[:])
+    )
+    b0inv = 1.0 / beta0
+
+    def matvec(vre, vim):
+        wre = jnp.zeros_like(vre)
+        wim = jnp.zeros_like(vim)
+        for c in range(nc):
+            tre, tim = _cmm(vre, vim, rre_ref[c], rim_ref[c])
+            ure, uim = _cmm(hre_ref[c], him_ref[c], tre, tim)
+            wre = wre + ure
+            wim = wim + uim
+        return wre, wim
+
+    _lanczos_phase(
+        matvec, vre_ref[:] * b0inv, vim_ref[:] * b0inv,
+        V_ref, prev_ref, ab_ref, flag_ref, sre, sim, thresh, kmax,
     )
     # norm handling in-kernel: conserve_norm renormalises, otherwise the
     # factored-out input norm is restored (krylov_expm semantics)

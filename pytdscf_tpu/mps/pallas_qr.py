@@ -52,17 +52,15 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
-def _mgs_kernel(
-    tre_ref,   # VMEM (r, N): mᵀ real plane
-    tim_ref,   # VMEM (r, N): mᵀ imaginary plane
-    qre_ref,   # VMEM (r, N): Qᵀ real out
-    qim_ref,   # VMEM (r, N): Qᵀ imaginary out
-    rre_ref,   # VMEM (r, r): R real out (column k = R[:, k])
-    rim_ref,   # VMEM (r, r): R imaginary out
-    *,
-    r: int,
-    n: int,
+def _mgs_phase(
+    tre_ref, tim_ref, qre_ref, qim_ref, rre_ref, rim_ref, *, r: int, n: int
 ):
+    """MGS(×2) of the row-major mᵀ planes (REFS) into Qᵀ/R output refs.
+
+    Exposed separately so fused site kernels can run it as a phase (they
+    stage their computed input into scratch refs first — Mosaic has no
+    dynamic_slice on values, only ``pl.ds`` ref indexing).
+    ``rre_ref``/``rim_ref`` end up holding R with COLUMN k = R[:, k]."""
     qre_ref[:] = jnp.zeros_like(qre_ref)
     qim_ref[:] = jnp.zeros_like(qim_ref)
     rre_ref[:] = jnp.zeros_like(rre_ref)
@@ -119,6 +117,22 @@ def _mgs_kernel(
         return jnp.int32(0)
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(r), column, jnp.int32(0))
+
+
+def _mgs_kernel(
+    tre_ref,   # VMEM (r, N): mᵀ real plane
+    tim_ref,   # VMEM (r, N): mᵀ imaginary plane
+    qre_ref,   # VMEM (r, N): Qᵀ real out
+    qim_ref,   # VMEM (r, N): Qᵀ imaginary out
+    rre_ref,   # VMEM (r, r): R real out (column k = R[:, k])
+    rim_ref,   # VMEM (r, r): R imaginary out
+    *,
+    r: int,
+    n: int,
+):
+    _mgs_phase(
+        tre_ref, tim_ref, qre_ref, qim_ref, rre_ref, rim_ref, r=r, n=n,
+    )
 
 
 def fits(N: int, r: int) -> bool:

@@ -29,6 +29,7 @@ from pytdscf_tpu.config import Config
 from pytdscf_tpu.mps import device_io as dio
 from pytdscf_tpu.mps import kernels as K
 from pytdscf_tpu.mps import pallas_lanczos as PLZ
+from pytdscf_tpu.mps import pallas_site as PSITE
 from pytdscf_tpu.mps.integrator import krylov_expm, lanczos_ground_state
 
 Pair = tuple[int, int]
@@ -220,6 +221,28 @@ def _site_step_impl(
         and mv_prec == "highest"
         and PLZ.fits(shapes[0], Ws[0].shape, max_dim)
     )
+    if (
+        use_plz
+        and not last
+        and env_prec == "highest"
+        and PSITE.site_fits(
+            shapes[0], Ws[0].shape, next_cores[0].shape, max_dim
+        )
+    ):
+        # whole site update (H-Krylov -> QR -> renorm -> K-Krylov ->
+        # absorb) as ONE pallas program: VMEM-resident between phases,
+        # zero per-phase dispatch (mps/pallas_site.py)
+        site_out, psi_next, blocks_new, log_new, kry = (
+            PSITE.site_step_fused(
+                psis[0], next_cores[0], Ls[0], Ws[0], Rs[0], scale,
+                thresh, lLs[0], lRs[0], forward=forward,
+                max_dim=max_dim,
+                conserve=conserve_norm or mode == "imag",
+            )
+        )
+        return (
+            (site_out,), (psi_next,), (blocks_new,), (log_new,), kry
+        )
     hmv = _make_hmatvec(
         pairs, Ls, Ws, Rs, shapes, nstate, dtype, hfacs, prec=mv_prec
     )

@@ -137,10 +137,22 @@ def test_kernel_breakdown_exact_subspace():
     assert err < 5e-5, (err, int(k_k), bool(bad))
 
 
-def test_engine_integration_forced(monkeypatch):
+def test_engine_integration_forced(monkeypatch, request):
     """Full TDVP steps with the kernel forced on (interpret mode) track
     the XLA path: same energies and cores on a small chain."""
     monkeypatch.setenv("PYTDSCF_PLZ_FORCE", "1")
+    # pin BOTH engines to the MGS gauge convention (the TPU production
+    # gauge).  The initial Hartree product is rank-deficient, so the
+    # fixed-D trajectory depends on the dead-column completion frame:
+    # LAPACK's Householder completions vs MGS's canonical-basis ones give
+    # two VALID but different discretizations (~1e-4 apart, same energy).
+    import pytdscf_tpu.mps.kernels as K
+
+    monkeypatch.setattr(K, "_PALLAS_QR_FORCE", True)
+    # the flag is read at trace time but is NOT part of any jit cache key:
+    # drop traces made under the other convention, before AND after
+    jax.clear_caches()
+    request.addfinalizer(jax.clear_caches)
     import numpy as np
 
     from pytdscf_tpu import units
