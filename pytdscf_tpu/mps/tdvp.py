@@ -225,13 +225,18 @@ def _site_step_impl(
         use_plz
         and not last
         and env_prec == "highest"
+        and _os.environ.get("PYTDSCF_PALLAS_WHOLESITE", "0") == "1"
         and PSITE.site_fits(
             shapes[0], Ws[0].shape, next_cores[0].shape, max_dim
         )
     ):
         # whole site update (H-Krylov -> QR -> renorm -> K-Krylov ->
-        # absorb) as ONE pallas program: VMEM-resident between phases,
-        # zero per-phase dispatch (mps/pallas_site.py)
+        # absorb) as ONE pallas program, VMEM-resident between phases
+        # (mps/pallas_site.py).  OPT-IN: chip A/B on the 184-site bench
+        # measured 0.0879 s/step fused vs 0.0835 with the separate
+        # Lanczos/MGS kernels — under the fused-block driver there is no
+        # host dispatch left to save, and the in-kernel block renorm via
+        # full (M, M) H channels costs more than XLA's fused einsums.
         site_out, psi_next, blocks_new, log_new, kry = (
             PSITE.site_step_fused(
                 psis[0], next_cores[0], Ls[0], Ws[0], Rs[0], scale,
