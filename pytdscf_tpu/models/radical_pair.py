@@ -247,6 +247,135 @@ def radical_pair_liouvillian(
     return basis, mpo, ele_site
 
 
+def radical_pair_hamiltonian(
+    hfcs_1: list[tuple[int, float]] | None = None,
+    hfcs_2: list[tuple[int, float]] | None = None,
+    B0: float = 0.2,
+    J: float = 0.1,
+    D0: float = -0.1,
+    kS: float = 1.0e06,
+    kT: float = 1.0e06,
+    scale: float = 1.0e-09,
+):
+    """Hilbert-space radical-pair H_eff for the SSE / trajectory route.
+
+    The wavefunction-ensemble analog of :func:`radical_pair_liouvillian`
+    (reference workflow ``radicalpair-sse.ipynb``): the same Zeeman +
+    hyperfine + exchange + dipolar model with the Haberkorn recombination
+    as a non-Hermitian CAP, −(i/2)(kS·P_S + kT·P_T), acting on plain
+    wavefunctions.  Nuclear mixed states are handled by ensemble
+    averaging over initial nuclear states (projection or spin-coherent
+    sampling, :func:`spin_coherent_weights`).  Propagate with
+    ``integrator="arnoldi"`` and ``conserve_norm=False``.
+
+    Same parameter conventions (and signs) as the Liouvillian builder, so
+    the trajectory average is directly comparable to the MPDO dynamics.
+
+    Returns ``(basis, mpo, ele_site)`` with physical dims = multiplicities
+    (4 at the electron-pair site).
+    """
+    if hfcs_1 is None:
+        hfcs_1 = [(2, 0.4)]
+    if hfcs_2 is None:
+        hfcs_2 = [(3, 0.5)]
+
+    sx, sy, sz = spin_matrices(2)
+    E2 = np.eye(2)
+    ele_site = len(hfcs_1)
+    nsite = len(hfcs_1) + 1 + len(hfcs_2)
+    nuclei: list[tuple[int, int, float, int]] = []
+    for k, (mult, A) in enumerate(hfcs_1):
+        nuclei.append((k, mult, A, 0))
+    for k, (mult, A) in enumerate(hfcs_2):
+        nuclei.append((ele_site + 1 + k, mult, A, 1))
+
+    def gamma_n(mult: int) -> float:
+        return GAMMA_1H if mult == 2 else GAMMA_14N
+
+    S1 = [np.kron(m, E2) for m in (sx, sy, sz)]
+    S2 = [np.kron(E2, m) for m in (sx, sy, sz)]
+    Qs = _singlet_projector()
+    Qt = np.eye(4) - Qs
+    xyz = "xyz"
+
+    sop = SumOfProducts()
+    for i, S in enumerate((S1, S2)):
+        sop += (-B0 * GAMMA_E * scale) * OpSite(
+            f"Sz{i}", ele_site, value=S[2]
+        )
+    for site, mult, A, i_ele in nuclei:
+        Svec = S1 if i_ele == 0 else S2
+        Imats = spin_matrices(mult)
+        c = abs(GAMMA_E) * A * scale
+        for r in range(3):
+            sop += c * OpSite(
+                f"S{xyz[r]}{i_ele}", ele_site, value=Svec[r]
+            ) * OpSite(f"I{xyz[r]}{site}", site, value=Imats[r])
+        sop += (-B0 * gamma_n(mult) * scale) * OpSite(
+            f"Iz{site}", site, value=Imats[2]
+        )
+    S1S2 = sum(a @ b for a, b in zip(S1, S2))
+    if J != 0.0:
+        sop += OpSite(
+            "Hj", ele_site,
+            value=-J * abs(GAMMA_E) * scale * (2 * S1S2 + 0.5 * np.eye(4)),
+        )
+    if D0 != 0.0:
+        if D0 > 0:
+            raise ValueError("D0 must be ≤ 0 (axial dipolar tensor)")
+        Dt = (2.0 / 3.0) * np.diag((-1.0, -1.0, 2.0)) * D0
+        sop += OpSite(
+            "Hd", ele_site,
+            value=abs(GAMMA_E) * scale
+            * sum(Dt[k, k] * S1[k] @ S2[k] for k in range(3)),
+        )
+    if kS != 0.0 or kT != 0.0:
+        sop += OpSite(
+            "CAP", ele_site, value=-0.5j * scale * (kS * Qs + kT * Qt)
+        )
+
+    dims = {site: mult for site, mult, _, _ in nuclei}
+    dims[ele_site] = 4
+    eye_prod = get_eye_site(0, dims[0])
+    for site in range(1, nsite):
+        eye_prod = eye_prod * get_eye_site(site, dims[site])
+    sop += 0.0 * eye_prod
+
+    am = AssignManager(sop.simplify())
+    am.assign()
+    mpo = am.numerical_mpo()
+    basis = [Exciton(dims[s]) for s in range(nsite)]
+    return basis, mpo, ele_site
+
+
+def spin_coherent_weights(
+    multiplicity: int, u_theta: float, u_phi: float
+) -> np.ndarray:
+    """SU(2) spin-coherent state |Ω(θ, φ)⟩ from uniform samples in [0, 1).
+
+    |Ω⟩ = cos(θ/2)^{2I} · exp(tan(θ/2) e^{iφ} Î₋) |I, I⟩ with
+    θ = arccos(2u_θ − 1), φ = 2π u_φ — uniform over the sphere (JCP 154,
+    084121 (2021)); averaging |Ω⟩⟨Ω| over samples reproduces the
+    maximally mixed nuclear state 1/(2I+1).  The lowering-operator
+    exponential is the exact finite (nilpotent) series.
+    """
+    theta = math.acos(2.0 * u_theta - 1.0)
+    phi = 2.0 * math.pi * u_phi
+    s = (multiplicity - 1) / 2
+    sx, sy, _ = spin_matrices(multiplicity)
+    sm = (sx - 1j * sy).astype(complex)  # lowering
+    z = math.tan(theta / 2.0) * np.exp(1j * phi)
+    term = np.eye(multiplicity, dtype=complex)
+    expm_sm = term.copy()
+    for k in range(1, multiplicity):
+        term = term @ (z * sm) / k
+        expm_sm += term
+    w = np.zeros(multiplicity, dtype=complex)
+    w[0] = 1.0  # |I, I⟩ (m sorted descending in spin_matrices)
+    w = math.cos(theta / 2.0) ** (2 * s) * (expm_sm @ w)
+    return w
+
+
 def singlet_product_state(basis, ele_site: int, split_electron: bool = False):
     """Initial MPDO: singlet projector at the electron pair, maximally
     mixed nuclei (vec(1/d)) elsewhere — the notebook's initial ensemble.
