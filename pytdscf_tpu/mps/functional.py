@@ -27,18 +27,20 @@ from pytdscf_tpu.mps.integrator import krylov_expm
 Cores = tuple[jax.Array, ...]
 
 
-def _site_expm(mv_shape, L, W, R, psi, scale, thresh, max_dim, conserve_norm):
+def _site_expm(
+    mv_shape, L, W, R, psi, scale, thresh, max_dim, conserve_norm, arnoldi
+):
     def mv(vec):
         return K.heff_apply(L, W, R, vec.reshape(mv_shape)).ravel()
 
     out = krylov_expm(
         mv, psi.ravel(), scale, thresh, max_dim=max_dim,
-        conserve_norm=conserve_norm,
+        conserve_norm=conserve_norm, arnoldi=arnoldi,
     )
     return out.reshape(mv_shape)
 
 
-def _bond_expm(L, R, sig, scale, thresh, max_dim, conserve_norm):
+def _bond_expm(L, R, sig, scale, thresh, max_dim, conserve_norm, arnoldi):
     shape = sig.shape
 
     def mv(vec):
@@ -46,7 +48,7 @@ def _bond_expm(L, R, sig, scale, thresh, max_dim, conserve_norm):
 
     out = krylov_expm(
         mv, sig.ravel(), scale, thresh, max_dim=max_dim,
-        conserve_norm=conserve_norm,
+        conserve_norm=conserve_norm, arnoldi=arnoldi,
     )
     return out.reshape(shape)
 
@@ -70,10 +72,14 @@ def tdvp_step(
     thresh: float = 1.0e-08,
     max_krylov: int = 20,
     conserve_norm: bool = True,
+    arnoldi: bool = False,
 ) -> Cores:
     """One full TDVP step on a right-canonical MPS (Psi at site 0).
 
     ``scale`` is the HALF-step exponent factor (−i·dt/2 for real time).
+    ``arnoldi=True`` selects the non-Hermitian Krylov variant (complex
+    absorbing potentials / Liouvillians; pair with
+    ``conserve_norm=False`` so the norm decay is physical).
     Returns cores in the same gauge.  Fully traceable (no host sync).
     """
     nsite = len(cores)
@@ -91,7 +97,7 @@ def tdvp_step(
             L, R = (sys_blk, env[p]) if forward else (env[p], sys_blk)
             psi = _site_expm(
                 cores[p].shape, L, Ws[p], R, cores[p], scale,
-                thresh, max_krylov, conserve_norm,
+                thresh, max_krylov, conserve_norm, arnoldi,
             )
             last = p == (nsite - 1 if forward else 0)
             if last:
@@ -103,7 +109,7 @@ def tdvp_step(
                 sys_blk = K.renorm_block_left(sys_blk, a, Ws[p], a)
                 sig = _bond_expm(
                     sys_blk, env[p], sig, -scale, thresh, max_krylov,
-                    conserve_norm,
+                    conserve_norm, arnoldi,
                 )
                 cores[p + 1] = K.absorb_right(sig, cores[p + 1])
             else:
@@ -112,7 +118,7 @@ def tdvp_step(
                 sys_blk = K.renorm_block_right(sys_blk, b, Ws[p], b)
                 sig = _bond_expm(
                     env[p], sys_blk, sig, -scale, thresh, max_krylov,
-                    conserve_norm,
+                    conserve_norm, arnoldi,
                 )
                 cores[p - 1] = K.absorb_left(cores[p - 1], sig)
     return tuple(cores)
@@ -136,3 +142,36 @@ def energy(cores: Cores, Ws: Cores) -> jax.Array:
     triv = jnp.ones((1, 1, 1), dtype=cores[0].dtype)
     sig = K.heff_apply(triv, Ws[0], R, cores[0])
     return jnp.vdot(cores[0], sig)
+
+
+def norm_sq(cores: Cores) -> jax.Array:
+    """⟨Ψ|Ψ⟩ by plain overlap transfer (no gauge assumption; traceable).
+
+    For CAP / non-Hermitian dynamics this is the survival probability
+    (reference SSE workflow, ``docs/notebook/radicalpair-sse.ipynb``)."""
+    S = jnp.ones((1, 1), dtype=cores[0].dtype)
+    for c in cores:
+        S = jnp.einsum("ab,anc,bnd->cd", S, c.conj(), c)
+    return S[0, 0].real
+
+
+def site_rdm(cores: Cores, p: int) -> jax.Array:
+    """One-site reduced density ρ[m, n] = Tr_rest |Ψ⟩⟨Ψ| at site ``p``.
+
+    ``ρ[m, n] = Σ ψ_m ψ*_n`` (row = ket index).  Contracts plain overlap
+    transfer chains from both chain ends, so it holds in ANY gauge and
+    for non-normalised states (CAP dynamics: Tr ρ = survival
+    probability).  Traceable — the building block for batched/ensemble
+    observables (reference analog: per-trajectory
+    ``get_reduced_densities``,
+    ``/root/reference/pytdscf/_mps_cls.py:1628``)."""
+    S = jnp.ones((1, 1), dtype=cores[0].dtype)
+    for q in range(p):
+        c = cores[q]
+        S = jnp.einsum("ab,anc,bnd->cd", S, c.conj(), c)
+    T = jnp.ones((1, 1), dtype=cores[0].dtype)
+    for q in range(len(cores) - 1, p, -1):
+        c = cores[q]
+        T = jnp.einsum("cd,anc,bnd->ab", T, c.conj(), c)
+    c = cores[p]
+    return jnp.einsum("ab,anc,bmd,cd->mn", S, c.conj(), c, T)
