@@ -137,6 +137,192 @@ def donor_acceptor(
     return basis, ham
 
 
+# ---------------------------------------------------------------------------
+# Model B (Dorfner et al. JCTC 20, 8767 (2024); reference notebook
+# /root/reference/docs/notebook/donor-acceptor_B.ipynb, "example 14"):
+# N oligothiophene fragments with LE_n / CS_n states on ONE 2N-level
+# electronic site, a shared reaction mode R, N_F fragment (F) bath modes
+# coupled to the total CS population, and N_OT intramolecular modes per
+# fragment coupled to that fragment's CS and LE populations.
+# ---------------------------------------------------------------------------
+
+#: Model B: LE on-site energy ε^LE (eV)
+B_EPSILON_LE_EV = 0.100
+#: Model B: LE₁–CS₁ interface coupling λ (eV)
+B_LAMBDA_EV = -0.200
+#: Model B: CS–CS nearest-neighbour transfer t (eV)
+B_T_EV = -0.120
+#: Model B: LE–LE nearest-neighbour transfer J (eV)
+B_J_EV = 0.100
+#: Model B: CS₁ coupling to the reaction mode (eV): 0.030/√2
+B_G_CS_EV = 0.030 / np.sqrt(2.0)
+#: Model B: interface-hop coupling to the reaction mode (eV): −0.010/√2
+B_G_LE_EV = -0.010 / np.sqrt(2.0)
+#: Model B: reaction-mode frequency ω_R (eV)
+B_OMEGA_R_EV = 0.010
+
+#: Model B: CS_n on-site energies ε^CS_n (meV), n = 1..13
+B_EPSILON_CS_MEV = [
+    0.0, 33.6, 47.4, 56.0, 61.8, 65.7, 68.4, 70.0, 70.9, 71.2, 71.1,
+    70.5, 69.5,
+]
+#: Model B: fragment (F) bath frequencies ω^F_l (meV), l = 1..8
+B_OMEGA_F_MEV = [
+    200.025, 184.269, 177.853, 141.11, 93.952, 79.933, 55.892, 33.264,
+]
+#: Model B: fragment-bath couplings g^F_l (meV) to the total CS population
+B_G_F_MEV = [
+    45.246, 65.701, -40.280, -17.511, 28.026, -13.629, -23.732, 9.86,
+]
+#: Model B: oligothiophene (OT) mode frequencies ω^OT_l (meV), l = 1..8
+B_OMEGA_OT_MEV = [
+    401.283, 397.773, 182.714, 178.531, 134.550, 111.848, 42.621, 18.316,
+]
+#: Model B: OT couplings g^OT_CS,l (meV) to the local CS population
+B_G_OT_CS_MEV = [
+    7.017, -0.077, -67.849, 57.668, -40.145, 11.68, -10.784, -12.309,
+]
+#: Model B: OT couplings g^OT_LE,l (meV) to the local LE population
+B_G_OT_LE_MEV = [
+    4.035, 2.921, -129.712, 46.885, -32.908, 36.591, -20.211, -7.77,
+]
+
+
+def donor_acceptor_b(
+    n_frag: int = 13,
+    n_f: int = 8,
+    n_ot: int = 8,
+    nfock: int = 28,
+    cutoff: float = 1.0e-13,
+):
+    """Build (basis_list, TensorHamiltonian) for donor–acceptor model B.
+
+    Site 0 is the 2·``n_frag``-level electronic site in the reference's
+    level order ``[CS_N, …, CS_1, LE_1, …, LE_N]`` (CS indices count DOWN
+    toward the interface at the middle of the ladder); site 1 the
+    reaction mode R; sites 2..1+``n_f`` the fragment (F) bath; then
+    ``n_ot`` OT modes per fragment in fragment order.  Reduced
+    ``n_frag``/``n_f``/``n_ot`` take the leading entries of the published
+    tables (the full notebook model is 13/8/8 → 114 sites).
+
+    Faithfulness note: the reference accumulates the F/OT mode energies
+    as ω·b b† (annihilation first — its ``pot_sop`` cells).  Against the
+    normal-ordered R-mode term that is ω·(n̂+1) — a constant +Σω offset —
+    EXCEPT that the truncated-Fock product zeroes the top level
+    (diag(1, …, nfock−1, 0)).  Both quirks are replicated so absolute
+    energies match the notebook run.
+    """
+    if not (1 <= n_frag <= len(B_EPSILON_CS_MEV)):
+        raise ValueError(f"n_frag must be in 1..{len(B_EPSILON_CS_MEV)}")
+    if n_f > len(B_OMEGA_F_MEV) or n_ot > len(B_OMEGA_OT_MEV):
+        raise ValueError("n_f/n_ot exceed the published tables")
+    ev = 1.0 / units.au_in_eV
+    mev = 1.0e-3 * ev
+    nele = 2 * n_frag
+    nsite = 2 + n_f + n_frag * n_ot
+
+    basis = [Exciton(nele)] + [Boson(nfock) for _ in range(nsite - 1)]
+
+    def ele(mat: np.ndarray, name: str) -> OpSite:
+        return OpSite(name, 0, value=mat)
+
+    def proj(k: int) -> np.ndarray:
+        m = np.zeros((nele, nele))
+        m[k, k] = 1.0
+        return m
+
+    def hop(k: int, j: int) -> np.ndarray:
+        m = np.zeros((nele, nele))
+        m[k, j] = m[j, k] = 1.0
+        return m
+
+    # level order: index N-i = CS_i (i=1..N), index N-1+i = LE_i
+    cs = [None] + [ele(proj(n_frag - i), f"CS{i}") for i in range(1, n_frag + 1)]
+    le = [None] + [ele(proj(n_frag - 1 + i), f"LE{i}") for i in range(1, n_frag + 1)]
+    le_hop = [None] + [
+        ele(hop(n_frag - 1 + i, n_frag + i), f"LE{i}LE{i+1}")
+        for i in range(1, n_frag)
+    ]
+    cs_hop = [None] + [
+        ele(hop(n_frag - i, n_frag - i - 1), f"CS{i}CS{i+1}")
+        for i in range(1, n_frag)
+    ]
+    lecs = ele(hop(n_frag - 1, n_frag), "LE1CS1")
+
+    bos = Boson(nfock)
+    x = bos.get_annihilation_matrix() + bos.get_creation_matrix()
+    num = bos.get_number_matrix()
+    # the notebook's literal b·b† — in the TRUNCATED Fock space this is
+    # diag(1, …, nfock−1, 0): the top level's mode energy is zeroed, not
+    # n̂+1.  Replicated verbatim (negligible at nfock=28, but it is what
+    # the reference computes).
+    num_p1 = (
+        bos.get_annihilation_matrix() @ bos.get_creation_matrix()
+    )
+
+    def X(s: int) -> OpSite:
+        return OpSite(f"x_{s}", s, value=x)
+
+    def ot_site(i: int, j: int) -> int:
+        """Chain site of OT mode j (1-based) of fragment i (1-based)."""
+        return 1 + n_f + (i - 1) * n_ot + j
+
+    sop = SumOfProducts()
+    sop += (B_OMEGA_R_EV * ev) * OpSite("N_R", 1, value=num)
+    for L in range(n_f):
+        sop += (B_OMEGA_F_MEV[L] * mev) * OpSite(
+            f"Np1_F{L}", 2 + L, value=num_p1
+        )
+    for i in range(1, n_frag + 1):
+        for j in range(1, n_ot + 1):
+            s = ot_site(i, j)
+            sop += (B_OMEGA_OT_MEV[j - 1] * mev) * OpSite(
+                f"Np1_{s}", s, value=num_p1
+            )
+    for i in range(1, n_frag + 1):
+        sop += (B_EPSILON_LE_EV * ev) * le[i]
+        sop += (B_EPSILON_CS_MEV[i - 1] * mev) * cs[i]
+    for i in range(1, n_frag):
+        sop += (B_J_EV * ev) * le_hop[i]
+        sop += (B_T_EV * ev) * cs_hop[i]
+    sop += (B_LAMBDA_EV * ev) * lecs
+    for L in range(n_f):
+        for i in range(1, n_frag + 1):
+            sop += (B_G_F_MEV[L] * mev) * X(2 + L) * cs[i]
+    for i in range(1, n_frag + 1):
+        for j in range(1, n_ot + 1):
+            s = ot_site(i, j)
+            sop += (B_G_OT_CS_MEV[j - 1] * mev) * X(s) * cs[i]
+            sop += (B_G_OT_LE_MEV[j - 1] * mev) * X(s) * le[i]
+    sop += (B_G_CS_EV * ev) * X(1) * cs[1]
+    sop += (B_G_LE_EV * ev) * X(1) * lecs
+
+    am = AssignManager(sop.simplify())
+    am.assign()
+    mpo = am.numerical_mpo(cutoff=cutoff)
+    legs = tuple((s, s) for s in range(nsite))
+    ham = TensorHamiltonian(
+        ndof=nsite, potential=[[{legs: TensorOperator(mpo=mpo)}]]
+    )
+    return basis, ham
+
+
+def electron_level_projectors(basis: list) -> dict[str, TensorHamiltonian]:
+    """Model B's per-level ⟨N̂_k⟩ observables: one projector MPO per level
+    of the electronic site (reference notebook's ``N{i}`` operators)."""
+    nele = basis[0].nprim
+    ops: dict[str, TensorHamiltonian] = {}
+    for k in range(nele):
+        core = np.zeros((1, nele, 1))
+        core[0, k, 0] = 1.0
+        ops[f"N{k}"] = TensorHamiltonian(
+            ndof=len(basis),
+            potential=[[{(0,): TensorOperator(mpo=[core], legs=(0,))}]],
+            kinetic=None,
+        )
+    return ops
+
+
 def mode_number_operators(basis: list) -> dict[str, TensorHamiltonian]:
     """The notebook's per-mode ⟨N̂_i⟩ observables (one-site MPOs)."""
     ops: dict[str, TensorHamiltonian] = {}
