@@ -42,6 +42,10 @@ Env knobs:
                   many devices on a "tp" mesh axis (parallel/bond_tp.py);
                   the χ>2048 HBM-capacity path — e.g. χ=4096 needs ~22 GB
                   of resident state, over one v5e chip's 15.75 GB
+  BENCH_SPLITTING — lt2 (default) | suzuki4 | yoshida4: sweep-splitting
+                  composition order (Config.splitting); pair with
+                  BENCH_DT to measure accuracy-per-walltime at larger dt
+  BENCH_DT      — dt multiplier (default 1 → 0.5 model-time units/step)
 """
 
 from __future__ import annotations
@@ -159,6 +163,7 @@ def main() -> None:
         pallas_matvec=os.environ.get(
             "BENCH_PALLAS", "1" if on_tpu else "0"
         ) != "0",
+        splitting=os.environ.get("BENCH_SPLITTING", "lt2"),
     )
     tp = int(os.environ.get("BENCH_TP", "0"))
     if tp > 1:
@@ -184,7 +189,8 @@ def main() -> None:
         f"{time.time() - t0:.1f} s")
     log(f"bench_chi: initial trace = {tr0.real:.6f}{tr0.imag:+.2e}j")
 
-    dt = 0.5  # model units (ns with the builder's 1e-9 scale)
+    dt = 0.5 * float(os.environ.get("BENCH_DT", "1"))
+    # model units (ns with the builder's 1e-9 scale)
     t0 = time.time()
     engine.propagate(dt)
     # block_until_ready does not sync through the axon tunnel — force a

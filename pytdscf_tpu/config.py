@@ -92,6 +92,19 @@ class Config:
     #: off by default — the accumulation ops cost dispatch time in the
     #: small-bond dispatch-bound regime.
     per_site_telemetry: bool = False
+    #: Sweep-splitting composition for real-time propagation: "lt2" is
+    #: the standard symmetric (Lubich) 2nd-order step — forward + backward
+    #: half-sweeps; "suzuki4" / "yoshida4" compose that step into a
+    #: 4th-order integrator (5 resp. 3 sub-steps, one with a negative
+    #: coefficient).  4th order admits much larger dt at equal
+    #: time-integration accuracy, amortising the per-site fixed costs
+    #: (gauge moves, environment transfer, Krylov buffers) that dominate
+    #: outside the matvec; suzuki4 has the smaller error constant and
+    #: sub-step magnitudes (preferred).  Real-time propagation only —
+    #: negative sub-steps are meaningless for relaxation.  The projection
+    #: (finite-D manifold) error is unaffected: only the dt-dependent
+    #: splitting error drops to O(dt⁴).
+    splitting: Literal["lt2", "suzuki4", "yoshida4"] = "lt2"
     #: SVD regularisation floor for gauge moves (reference ``epsrho``).
     epsrho: float = 1.0e-08
     #: Display unit for exported time axes.

@@ -73,6 +73,7 @@ def tdvp_step(
     max_krylov: int = 20,
     conserve_norm: bool = True,
     arnoldi: bool = False,
+    splitting: str = "lt2",
 ) -> Cores:
     """One full TDVP step on a right-canonical MPS (Psi at site 0).
 
@@ -80,8 +81,21 @@ def tdvp_step(
     ``arnoldi=True`` selects the non-Hermitian Krylov variant (complex
     absorbing potentials / Liouvillians; pair with
     ``conserve_norm=False`` so the norm decay is physical).
+    ``splitting`` composes the symmetric step to 4th order
+    ("suzuki4"/"yoshida4", see :func:`pytdscf_tpu.mps.tdvp.splitting_coeffs`).
     Returns cores in the same gauge.  Fully traceable (no host sync).
     """
+    from pytdscf_tpu.mps.tdvp import splitting_coeffs
+
+    coeffs = splitting_coeffs(splitting)
+    if len(coeffs) > 1:
+        for w in coeffs:
+            cores = tdvp_step(
+                cores, Ws, scale * w, thresh=thresh,
+                max_krylov=max_krylov, conserve_norm=conserve_norm,
+                arnoldi=arnoldi,
+            )
+        return cores
     nsite = len(cores)
     cores = list(cores)
 

@@ -69,6 +69,23 @@ def _make_kmatvec(pairs, Ls, Rs, shapes, nstate, dtype, facs=None, prec="highest
     return mv
 
 
+def splitting_coeffs(scheme: str) -> tuple[float, ...]:
+    """Sub-step coefficients composing the symmetric 2nd-order step
+    (fwd+bwd half-sweeps) into higher order: Σw = 1, palindromic.
+
+    suzuki4: Suzuki's 5-stage fractal (smaller error constant and
+    |w|max ≈ 0.66); yoshida4: the 3-stage triple jump (|w₀| ≈ 1.70)."""
+    if scheme == "lt2":
+        return (1.0,)
+    if scheme == "yoshida4":
+        w1 = 1.0 / (2.0 - 2.0 ** (1.0 / 3.0))
+        return (w1, 1.0 - 2.0 * w1, w1)
+    if scheme == "suzuki4":
+        w1 = 1.0 / (4.0 - 4.0 ** (1.0 / 3.0))
+        return (w1, w1, 1.0 - 4.0 * w1, w1, w1)
+    raise ValueError(f"unknown splitting scheme {scheme!r}")
+
+
 @jax.jit
 def _scan_ovlp_noconj(S, stack):
     """Fold S through a stacked uniform run of unconjugated transfers
@@ -1318,12 +1335,32 @@ class TDVPEngine:
             )
         else:
             sweep = self._half_sweep
-        sweep(scale, forward=True, mode=mode)
-        if one_gate_to_apply is not None:
-            self.apply_one_gate(one_gate_to_apply)
-        if kraus_op is not None:
-            self.apply_kraus(kraus_op)
-        sweep(scale, forward=False, mode=mode)
+        coeffs = splitting_coeffs(self.config.splitting)
+        if len(coeffs) > 1:
+            if mode != "prop":
+                raise ValueError(
+                    "4th-order splitting schemes require real-time "
+                    "propagation (negative sub-steps are meaningless "
+                    "for relaxation)"
+                )
+            if one_gate_to_apply is not None or kraus_op is not None:
+                raise ValueError(
+                    "open-system channels (gates/Kraus) are not part of "
+                    "the coherent composition; use splitting='lt2'"
+                )
+            for w in coeffs:
+                # host-side product: eager complex device ops are
+                # rejected by the TPU backend
+                sw = dio.put(np.asarray(-0.5j * dt * w), self.dtype)
+                sweep(sw, forward=True, mode=mode)
+                sweep(sw, forward=False, mode=mode)
+        else:
+            sweep(scale, forward=True, mode=mode)
+            if one_gate_to_apply is not None:
+                self.apply_one_gate(one_gate_to_apply)
+            if kraus_op is not None:
+                self.apply_kraus(kraus_op)
+            sweep(scale, forward=False, mode=mode)
         if self.config.pytest_enabled and self._gauge_dev is not None:
             # canonicality validated inside the sweep when testing
             # (reference _site_cls.py:502-561 under const.pytest_enabled);
@@ -1364,8 +1401,10 @@ class TDVPEngine:
         self._kry_site = ksite if cfg.per_site_telemetry else None
         self._gauge_dev = gdev if cfg.pytest_enabled else None
         ys = collect() if collect is not None else None
-        self._half_sweep(scale, forward=True, mode=mode)
-        self._half_sweep(scale, forward=False, mode=mode)
+        for w in splitting_coeffs(cfg.splitting):
+            sw = scale if w == 1.0 else scale * w
+            self._half_sweep(sw, forward=True, mode=mode)
+            self._half_sweep(sw, forward=False, mode=mode)
         carry_out = (
             tuple(tuple(cs) for cs in self.cores),
             tuple(self.env_stack),
@@ -1422,6 +1461,10 @@ class TDVPEngine:
         mode = {"none": "prop", "imaginary": "imag", "improved": "improved"}[
             self.config.relax
         ]
+        if mode != "prop" and self.config.splitting != "lt2":
+            raise ValueError(
+                "4th-order splitting schemes require real-time propagation"
+            )
         if mode == "prop":
             scale = dio.put(np.asarray(-0.5j * dt), self.dtype)
         else:

@@ -139,6 +139,7 @@ class Simulator:
         max_stepsize: float = 0.010,
         dtype: str | None = None,
         fetch_stride: int | None = None,
+        splitting: Literal["lt2", "suzuki4", "yoshida4"] = "lt2",
     ) -> tuple[Any, WaveFunction]:
         dt_au = (Δt if Δt is not None else stepsize) / units.au_in_fs
         dtype_eff = dtype or self._auto_dtype()
@@ -175,6 +176,7 @@ class Simulator:
             tol_cmf=tol_cmf,
             max_stepsize=max_stepsize / units.au_in_fs,
             fetch_stride=fetch_stride,
+            splitting=splitting,
         )
         return self._execute(
             config,
