@@ -143,6 +143,7 @@ def fits(N: int, r: int) -> bool:
     return 4 * r * npad * 4 + 2 * r * max(r, 128) * 4 <= 48 * 1024 * 1024
 
 
+@jax.custom_batching.custom_vmap
 def mgs_qr_fused(m: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Drop-in for ``kernels._mgs_qr`` via the single-kernel program."""
     N, r = m.shape
@@ -165,3 +166,22 @@ def mgs_qr_fused(m: jax.Array) -> tuple[jax.Array, jax.Array]:
     Q = jnp.transpose(jax.lax.complex(qre, qim)).astype(m.dtype)
     R = jax.lax.complex(rre, rim).astype(m.dtype)
     return Q, R
+
+
+@mgs_qr_fused.def_vmap
+def _mgs_qr_fused_vmap(axis_size, in_batched, m):
+    """Batched rule: route around the pallas kernel entirely.
+
+    JAX lowers a vmapped ``pallas_call`` by prepending a batch grid
+    dimension whose synthesized index maps carry literal-0 entries; under
+    the package-wide x64 flag those trace as i64, and Mosaic rejects the
+    index-map function (``func.return (i32, i64, i64)`` legalization
+    failure, reproduced on v5e).  This fires for DIRECT vmap and for
+    vmap-of-jit alike (the tracer-type guard in ``kernels._thin_qr``
+    cannot see through a jit boundary), so ensemble programs
+    (``parallel/batched.py``) get the same-algorithm XLA MGS(×2) path.
+    """
+    from pytdscf_tpu.mps.kernels import _mgs_qr
+
+    out = jax.vmap(_mgs_qr)(m)
+    return out, (True, True)

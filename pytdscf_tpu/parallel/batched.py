@@ -29,9 +29,24 @@ try:  # JAX >= 0.6 exposes shard_map at top level
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
+import numpy as np
+
+from pytdscf_tpu.mps import device_io as dio
 from pytdscf_tpu.mps import functional as F
 
 Cores = tuple[jax.Array, ...]
+
+
+def _as_scale(scale, dtype) -> jax.Array:
+    """Host scalar → device complex scalar, TPU-safely.
+
+    Eagerly uploading a bare complex host scalar (``jnp.asarray(0.5j)`` /
+    an ``np.complex64`` jit argument) is UNIMPLEMENTED on this TPU
+    backend; route through the real-pair transport instead.
+    """
+    if isinstance(scale, jax.Array):
+        return scale
+    return dio.put(np.asarray(scale), dtype)
 
 
 @lru_cache(maxsize=None)
@@ -76,7 +91,7 @@ def batched_tdvp_step(
     the batch-mean energy (a cross-device ``psum`` reduction).
     """
     prog = _step_program(mesh, len(bcores), thresh, max_krylov, axis)
-    new, e_sum = prog(bcores, Ws, jnp.asarray(scale, bcores[0].dtype))
+    new, e_sum = prog(bcores, Ws, _as_scale(scale, bcores[0].dtype))
     return new, e_sum / bcores[0].shape[0]
 
 
@@ -148,7 +163,7 @@ def batched_sse_propagate(
     prog = _sse_program(
         mesh, len(bcores), nsteps, rdm_site, thresh, max_krylov, axis
     )
-    return prog(bcores, Ws, jnp.asarray(scale, bcores[0].dtype))
+    return prog(bcores, Ws, _as_scale(scale, bcores[0].dtype))
 
 
 @lru_cache(maxsize=None)

@@ -45,6 +45,7 @@ from pytdscf_tpu.models.radical_pair import (  # noqa: E402
     radical_pair_hamiltonian,
     spin_coherent_weights,
 )
+from pytdscf_tpu.mps import device_io as dio  # noqa: E402
 from pytdscf_tpu.mps import functional as F  # noqa: E402
 from pytdscf_tpu.mps.lattice import alloc_hartree_product  # noqa: E402
 from pytdscf_tpu.parallel import batched_sse_propagate, make_mesh  # noqa: E402
@@ -63,6 +64,13 @@ def log(msg: str) -> None:
     print(f"sse_bench: {msg}", file=sys.stderr, flush=True)
 
 
+@jax.jit
+def _trace_last(rdms):
+    # complex eager dispatches/transfers are UNIMPLEMENTED on this TPU —
+    # reduce to a real scalar INSIDE a jitted program before fetching.
+    return jnp.trace(rdms[-1]).real
+
+
 def main() -> None:
     on_tpu = jax.devices()[0].platform == "tpu"
     cdtype = jnp.complex64 if on_tpu else (
@@ -74,7 +82,7 @@ def main() -> None:
     phys = [b.nstate for b in basis]
     model = Model(basis, {"hamiltonian": mpo}, bond_dim=BD)
     fused = model.hamiltonian.fused_mpo(phys)[0][0]
-    Ws = tuple(jnp.asarray(np.asarray(w), cdtype) for w in fused)
+    Ws = tuple(dio.put(np.asarray(w), cdtype) for w in fused)
 
     rng = np.random.default_rng(7)
     hps = []
@@ -87,11 +95,9 @@ def main() -> None:
             )
         hps.append(hp)
     percore = [alloc_hartree_product(phys, BD, hp) for hp in hps]
-    bcores = tuple(
-        jnp.asarray(np.stack([t[p] for t in percore]), cdtype)
-        for p in range(len(phys))
-    )
-    scale = np.complex64(-0.5j * DT) if cdtype == jnp.complex64 else -0.5j * DT
+    hstacks = [np.stack([t[p] for t in percore]) for p in range(len(phys))]
+    bcores = tuple(dio.put(h, cdtype) for h in hstacks)
+    scale = complex(-0.5j * DT)  # converted device-side by _as_scale
 
     ndev = len(jax.devices())
     ndp = max(d for d in range(1, ndev + 1) if NTRAJ % d == 0)
@@ -104,12 +110,12 @@ def main() -> None:
     # ---- batched: one program for the whole ensemble ----
     t0 = time.perf_counter()
     _, rdms = batched_sse_propagate(mesh, bcores, Ws, scale, NSTEP, ele_site)
-    tr_last = float(jnp.trace(rdms[-1]).real)  # value fetch = honest sync
+    tr_last = float(_trace_last(rdms))  # value fetch = honest sync
     t_compile = time.perf_counter() - t0
     log(f"batched warmup (compile + run) {t_compile:.1f} s")
     t0 = time.perf_counter()
     _, rdms = batched_sse_propagate(mesh, bcores, Ws, scale, NSTEP, ele_site)
-    tr2 = float(jnp.trace(rdms[-1]).real)
+    tr2 = float(_trace_last(rdms))
     t_batched = time.perf_counter() - t0
     assert abs(tr2 - tr_last) < 1e-5
     log(
@@ -119,24 +125,29 @@ def main() -> None:
     )
 
     # ---- serial: one jitted per-trajectory step program, looped ----
+    # Ws/scale ride as ARGUMENTS: complex device arrays closed over by a
+    # new jit are constant-folded via a host fetch -> UNIMPLEMENTED here.
     @jax.jit
-    def one_traj_run(cores):
+    def one_traj_run(cores, Ws, sc):
         def body(cs, _):
             new = F.tdvp_step(
-                cs, Ws, scale, conserve_norm=False, arnoldi=True
+                cs, Ws, sc, conserve_norm=False, arnoldi=True
             )
             return new, F.site_rdm(new, ele_site)
 
         _, rdms = jax.lax.scan(body, cores, None, length=NSTEP)
         return rdms
 
-    cores0 = tuple(c[0] for c in bcores)
-    tr_w = float(jnp.trace(one_traj_run(cores0)[-1]).real)  # compile
+    scale_dev = dio.put(np.asarray(scale), cdtype)
+    cores0 = tuple(dio.put(h[0], cdtype) for h in hstacks)
+    tr_w = float(_trace_last(one_traj_run(cores0, Ws, scale_dev)))  # compile
     t0 = time.perf_counter()
     acc = 0.0
     for itraj in range(NSER):
-        out = one_traj_run(tuple(c[itraj] for c in bcores))
-        acc += float(jnp.trace(out[-1]).real)
+        out = one_traj_run(
+            tuple(dio.put(h[itraj], cdtype) for h in hstacks), Ws, scale_dev
+        )
+        acc += float(_trace_last(out))
     t_serial_part = time.perf_counter() - t0
     t_serial = t_serial_part / NSER * NTRAJ
     log(
