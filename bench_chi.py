@@ -38,6 +38,10 @@ Env knobs:
                   ON (chip-validated: 1.397 → 1.310 s/step at χ=1024,
                   populations within 9e-6 of exact); BENCH_PALLAS=0
                   falls back to the planar-bf16 einsum
+  BENCH_PENV    — pallas bf16x3 env-block transfer (mps/pallas_renorm.py,
+                  VMEM-resident chain, hi/lo-split operands — the same
+                  accuracy contract as env_precision="high").  Default ON
+                  on TPU; BENCH_PENV=0 reverts to the XLA einsum for A/B
   BENCH_TP      — shard the TDVP state (cores + env blocks) over this
                   many devices on a "tp" mesh axis (parallel/bond_tp.py);
                   the χ>2048 HBM-capacity path — e.g. χ=4096 needs ~22 GB
@@ -164,6 +168,12 @@ def main() -> None:
             "BENCH_PALLAS", "1" if on_tpu else "0"
         ) != "0",
         splitting=os.environ.get("BENCH_SPLITTING", "lt2"),
+        # pallas bf16x3 env transfer (mps/pallas_renorm.py) — chip A/B
+        # measured it at wall-clock PARITY with the XLA einsum (10.65 vs
+        # 10.61 ms/transfer; 1.321 vs 1.303 s/step end-to-end) with
+        # slightly BETTER accuracy (1.2e-5 vs 3.5e-5 rel), so it stays
+        # opt-in: BENCH_PENV=1
+        pallas_env=os.environ.get("BENCH_PENV", "0") != "0",
     )
     tp = int(os.environ.get("BENCH_TP", "0"))
     if tp > 1:

@@ -74,6 +74,13 @@ class Config:
     #: whose bonds divide the 128-tile grid (edges fall back to the planar
     #: einsum path).  Requires ``krylov_relaxed=True`` to have any effect.
     pallas_matvec: bool = False
+    #: Route the env-block renormalisations through the pallas-fused
+    #: bf16x3 kernel (``mps/pallas_renorm.py``): hi/lo-split operands and
+    #: f32 VMEM chain intermediates reproduce ``env_precision="high"``
+    #: semantics with zero HBM round-trips for the two (χ,w,d,χ)
+    #: intermediates.  Engages only when ``env_precision == "high"`` and
+    #: on tile-divisible bonds (edges fall back to the XLA einsum).
+    pallas_env: bool = False
     #: Single-kernel pallas Lanczos for the Krylov exponentials at SMALL
     #: local dimension (``mps/pallas_lanczos.py``): the whole
     #: recurrence + tridiagonal exponential + convergence rule runs as one

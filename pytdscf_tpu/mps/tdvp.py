@@ -29,6 +29,7 @@ from pytdscf_tpu.config import Config
 from pytdscf_tpu.mps import device_io as dio
 from pytdscf_tpu.mps import kernels as K
 from pytdscf_tpu.mps import pallas_lanczos as PLZ
+from pytdscf_tpu.mps import pallas_renorm as PR
 from pytdscf_tpu.mps import pallas_site as PSITE
 from pytdscf_tpu.mps.integrator import krylov_expm, lanczos_ground_state
 
@@ -209,6 +210,7 @@ def _site_step_impl(
     relaxed: bool = False,
     pallas: bool = False,
     pallas_small: bool = False,
+    pallas_env: bool = False,
 ):
     """One fused TDVP site update.  Returns (site_out, psi_next, blocks_new).
 
@@ -320,7 +322,12 @@ def _site_step_impl(
         sites_out = tuple(q for q, _ in qr_out)
         svals = tuple(s for _, s in qr_out)
         raw = [
-            K.renorm_block_left(L, sites_out[i], W, sites_out[j], env_prec)
+            PR.renorm_left_pallas(L, sites_out[i], W, sites_out[j])
+            if pallas_env
+            and PR.left_shapes_ok(L, sites_out[i], W, sites_out[j])
+            else K.renorm_block_left(
+                L, sites_out[i], W, sites_out[j], env_prec
+            )
             for (i, j), L, W in zip(pairs, Ls, Ws)
         ]
         env_blocks, l_env = Rs, lRs
@@ -330,7 +337,12 @@ def _site_step_impl(
         svals = tuple(s for s, _ in qr_out)
         sites_out = tuple(b for _, b in qr_out)
         raw = [
-            K.renorm_block_right(R, sites_out[i], W, sites_out[j], env_prec)
+            PR.renorm_right_pallas(R, sites_out[i], W, sites_out[j])
+            if pallas_env
+            and PR.right_shapes_ok(R, sites_out[i], W, sites_out[j])
+            else K.renorm_block_right(
+                R, sites_out[i], W, sites_out[j], env_prec
+            )
             for (i, j), R, W in zip(pairs, Rs, Ws)
         ]
         env_blocks, l_env = Ls, lLs
@@ -412,6 +424,7 @@ _site_step = partial(
         "relaxed",
         "pallas",
         "pallas_small",
+        "pallas_env",
     ),
 )(_site_step_impl)
 
@@ -431,6 +444,7 @@ _site_step = partial(
         "relaxed",
         "pallas",
         "pallas_small",
+        "pallas_env",
     ),
 )
 def _scan_site_steps(
@@ -456,6 +470,7 @@ def _scan_site_steps(
     relaxed: bool = False,
     pallas: bool = False,
     pallas_small: bool = False,
+    pallas_env: bool = False,
 ):
     """A RUN of uniform-shape site steps as ONE ``lax.scan`` program.
 
@@ -481,6 +496,7 @@ def _scan_site_steps(
             max_dim=max_dim, last=False, forward=forward,
             mv_prec=mv_prec, env_prec=env_prec, relaxed=relaxed,
             pallas=pallas, pallas_small=pallas_small,
+            pallas_env=pallas_env,
         )
         return (
             (psi_next, blocks_new, logs_new, kry_sum + kry),
@@ -909,6 +925,9 @@ class TDVPEngine:
             env_prec=cfg.env_precision,
             relaxed=cfg.krylov_relaxed,
             pallas=cfg.pallas_matvec,
+            pallas_env=(
+                cfg.pallas_env and cfg.env_precision == "high"
+            ),
             pallas_small=(
                 cfg.pallas_site
                 and (jax.default_backend() == "tpu"
