@@ -51,6 +51,14 @@ jax.config.update("jax_platforms", os.environ.get("PYTDSCF_PLATFORM", "cpu"))
 import numpy as np
 import matplotlib
 matplotlib.rcParams["figure.dpi"] = 80
+# fixed-order categorical palette + single-hue sequential ramp (CVD-safe)
+PALETTE = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100"]
+matplotlib.rcParams["axes.prop_cycle"] = matplotlib.cycler(color=PALETTE)
+from matplotlib.colors import LinearSegmentedColormap
+SEQ_CMAP = LinearSegmentedColormap.from_list(
+    "blues_seq",
+    ["#fcfcfb", "#cde2fb", "#86b6ef", "#3987e5", "#256abf", "#0d366b"],
+)
 import matplotlib.pyplot as plt
 """
 
@@ -393,12 +401,398 @@ print("ensemble survival per step:", np.round(surv, 6))
 ]
 
 
+HENON = [
+    ("md", """
+# Grid-based (DVR) dynamics: Hénon–Heiles on HO-DVR and Sine-DVR
+
+Counterpart of the reference's `henon_heiles_HO-DVR` /
+`henon_heiles_Sine-DVR` notebooks plus the `TD_reduced_density` workflow:
+build an nMR grid MPO from analytic component functions
+(`construct_nMR_recursive`), add the DVR kinetic MPO, propagate, and
+export the time-dependent position density ρ(Q₀, t).
+
+The 2-mode energy is pinned to the reference's exact CI literal
+0.018225341011652626 Eh (`tests/test_henon_heiles.py`).
+"""),
+    ("code", PREAMBLE + """
+from pytdscf_tpu import units
+from pytdscf_tpu.basis import HarmonicOscillator, Sine
+from pytdscf_tpu.model import Model
+from pytdscf_tpu.operators.dvr import (
+    construct_kinetic_mpo,
+    construct_nMR_recursive,
+)
+from pytdscf_tpu.simulator import Simulator
+"""),
+    ("md", """
+## Mass-weighted Hénon–Heiles components
+
+V = Σ w²Qᵢ²/2 + λ w^{3/2} (Σ Qᵢ²Qᵢ₊₁ − Qᵢ₊₁³/3), here f = 2 modes at
+ω = 2000 cm⁻¹, λ = 10⁻³.  The nMR builder takes the per-cluster component
+functions directly.
+"""),
+    ("code", """
+F, NGRID, LAM = 2, 5, 1.0e-03
+W = 2000.0 / units.au_in_cm1
+
+funcs = {
+    (0,): lambda q: W**2 / 2 * q**2,
+    (1,): lambda q: W**2 / 2 * q**2 - LAM * W**1.5 / 3 * q**3,
+    (0, 1): lambda qa, qb: LAM * W**1.5 * qa**2 * qb,
+}
+
+def propagate(prims, jobname, nstep=3, dt=0.001, rd=None, grid_init=False):
+    pot = construct_nMR_recursive(prims, nMR=2, func=funcs,
+                                  rate=0.99999999999)
+    kin = construct_kinetic_mpo(prims)
+    model = Model(prims, {"potential": pot, "kinetic": kin}, bond_dim=4)
+    ng = prims[0].ngrid
+    if grid_init:
+        # grid-sampled Hartree product (uniform-weight Sine DVR):
+        # mode 0 = φ₁ (or a coherent state displaced by `disp`), rest φ₀
+        disp = grid_init if grid_init is not True else None
+        hp = []
+        for k, p in enumerate(prims):
+            x = np.asarray(p.get_grids())
+            if k == 0 and disp is not None:
+                v = np.exp(-W * (x - disp) ** 2 / 2)
+            elif k == 0:
+                v = x * np.exp(-W * x**2 / 2)
+            else:
+                v = np.exp(-W * x**2 / 2)
+            hp.append(list(v / np.linalg.norm(v)))
+        model.init_HartreeProduct = [hp]
+    else:
+        gs = [1.0] + [0.0] * (ng - 1)
+        es = [0.0, 1.0] + [0.0] * (ng - 2)
+        model.init_weight_VIBSTATE = [[es, gs]]
+    sim = Simulator(jobname=jobname, model=model, verbose=0)
+    return sim.propagate(maxstep=nstep, stepsize=dt, reduced_density=rd)
+"""),
+    ("md", """
+## HO-DVR vs Sine-DVR
+
+The HO-DVR grid (5 Gauss–Hermite points) reproduces the reference CI
+literal; the box-grid Sine-DVR converges to the same physics with more
+points (the grids are plotted below).
+"""),
+    ("code", """
+e_ho, _ = propagate([HarmonicOscillator(NGRID, 2000.0) for _ in range(F)],
+                    "hh_ho")
+print(f"HO-DVR   E = {e_ho:.15f}  (reference CI 0.018225341011652626)")
+assert abs(e_ho - 0.018225341011652626) < 1e-12
+
+sig = 1.0 / np.sqrt(W)   # ground-state width, mass-weighted a.u.
+sine_prims = [Sine(31, length=16 * sig, x0=-8 * sig, units="au",
+                   include_terminal=False) for _ in range(F)]
+e_sin, _ = propagate(sine_prims, "hh_sine", grid_init=True)
+print(f"Sine-DVR E = {e_sin:.15f}  |ΔE| = {abs(e_sin - e_ho):.2e}")
+assert abs(e_sin - e_ho) < 5e-5
+"""),
+    ("code", """
+ho = HarmonicOscillator(NGRID, 2000.0)
+q = np.linspace(-8 * sig, 8 * sig, 400)
+plt.figure(figsize=(7, 3))
+plt.plot(q, W**2 / 2 * q**2 - LAM * W**1.5 / 3 * q**3, label="V(0, Q)")
+plt.plot(ho.get_grids(), [W**2 / 2 * g**2 - LAM * W**1.5 / 3 * g**3
+                          for g in ho.get_grids()],
+         "o", ms=8, label="HO-DVR grid (5 pts)")
+plt.plot(sine_prims[0].get_grids(),
+         [0.0] * 31, "|", ms=12, label="Sine-DVR grid (31 pts)")
+plt.xlabel("Q [mass-weighted a.u.]"); plt.ylabel("V [Hartree]")
+plt.legend(); plt.title("DVR grids over the Hénon–Heiles cut")
+plt.tight_layout(); plt.show()
+"""),
+    ("md", """
+## Time-dependent reduced density ρ(Q₀, t)
+
+The reference's `TD_reduced_density` workflow: start a coherent state
+displaced by 1.5σ in mode 0, export the diagonal grid density every
+other step to genuine netCDF4 (`reduced_density=([(0,)], 2)` — a 1-tuple
+key keeps the diagonal) and render the wavepacket oscillation.
+"""),
+    ("code", """
+from pytdscf_tpu.util import read_nc
+
+e_t, _ = propagate(sine_prims, "hh_dens", nstep=120, dt=0.2,
+                   rd=([(0,)], 2), grid_init=1.5 * sig)
+rd = read_nc("hh_dens_prop/reduced_density.nc", [(0,)])
+dens = np.real(rd[(0,)])          # (steps, ngrid)
+t = np.asarray(rd["time"])        # fs
+plt.figure(figsize=(7, 3.2))
+plt.pcolormesh(t, sine_prims[0].get_grids(), dens.T, cmap=SEQ_CMAP,
+               shading="auto")
+plt.colorbar(label=r"$\\rho(Q_0)$")
+plt.xlabel("time [fs]"); plt.ylabel("$Q_0$ [a.u.]")
+plt.title("mode-0 density: coherent-state oscillation "
+          f"(period {2 * np.pi / W * units.au_in_fs:.1f} fs)")
+plt.tight_layout(); plt.show()
+print(f"density rows: {dens.shape}, norm of last row: {dens[-1].sum():.6f}")
+"""),
+]
+
+GRIDPES = [
+    ("md", """
+# PES on a grid: DVR mesh → parallel evaluation → database → nMR MPO
+
+Counterpart of the reference's `grid-based-MPO-H2CO` +
+`electronic-structure-calculation` notebooks.  The pipeline:
+
+1. `DVR_Mesh.save_geoms` enumerates the nMR product grids into SQLite;
+2. `execute_multiproc` dispatches an electronic-structure callable over a
+   process pool (timeout/retry/judge hooks — here an analytic anharmonic
+   surface stands in for the ab initio code);
+3. `database_to_dataframe` → `construct_nMR_recursive(db=...)` performs
+   the inclusion–exclusion nMR separation and compresses the grid MPO;
+4. the same model propagates identically to the analytic-function route.
+"""),
+    ("code", PREAMBLE + """
+from pytdscf_tpu import units
+from pytdscf_tpu.ase_handler import DVR_Mesh
+from pytdscf_tpu.basis import HarmonicOscillator
+from pytdscf_tpu.model import Model
+from pytdscf_tpu.operators.dvr import (
+    construct_kinetic_mpo,
+    construct_nMR_recursive,
+    database_to_dataframe,
+)
+from pytdscf_tpu.simulator import Simulator
+
+W1 = 1500.0 / units.au_in_cm1
+W2 = 3000.0 / units.au_in_cm1
+CUB = 1.0e-06
+
+def potential(q):
+    q1, q2 = q
+    return (W1**2 / 2 * q1**2 + W2**2 / 2 * q2**2
+            + CUB * (q1**3 + q1 * q2**2 + q1**2 * q2))
+"""),
+    ("md", """
+## 1–2. Mesh out, "compute", store
+
+7×7 2-mode product mesh (1-mode cuts share the reference point, so 49
+rows total).  `execute_multiproc` fills the SQLite table in parallel.
+"""),
+    ("code", """
+prims = [HarmonicOscillator(7, 1500.0), HarmonicOscillator(7, 3000.0)]
+db = "pes.db"
+mesh = DVR_Mesh(prims)
+print("grid points saved:", mesh.save_geoms(db, nMR=2))
+print("evaluated:", mesh.execute_multiproc(potential, db, max_workers=2,
+                                           timeout=60))
+df = database_to_dataframe(db)
+df.head(4)
+"""),
+    ("code", """
+g1, g2 = prims[0].get_grids(), prims[1].get_grids()
+V = np.array([[potential((a, b)) for b in g2] for a in g1])
+plt.figure(figsize=(5.2, 4))
+plt.pcolormesh(g2, g1, V * units.au_in_cm1, cmap=SEQ_CMAP, shading="auto")
+plt.colorbar(label="V [cm$^{-1}$]")
+plt.xlabel("$Q_2$ [a.u.]"); plt.ylabel("$Q_1$ [a.u.]")
+plt.title("database PES over the 2-mode product mesh")
+plt.tight_layout(); plt.show()
+"""),
+    ("md", """
+## 3–4. nMR MPO from the database, then dynamics
+
+`construct_nMR_recursive(db=...)` reads raw grid *totals* and separates
+them into 1- and 2-mode clusters by inclusion–exclusion; the analytic
+`func=` route is the cross-check.  Both give the same propagated energy.
+"""),
+    ("code", """
+pot_db = construct_nMR_recursive(prims, nMR=2, db=db)
+funcs = {
+    (0,): lambda q1: W1**2 / 2 * q1**2 + CUB * q1**3,
+    (1,): lambda q2: W2**2 / 2 * q2**2,
+    (0, 1): lambda q1, q2: CUB * (q1 * q2**2 + q1**2 * q2),
+}
+pot_func = construct_nMR_recursive(prims, nMR=2, func=funcs)
+kin = construct_kinetic_mpo(prims)
+
+def run(pot, jobname):
+    model = Model(prims, {"potential": pot, "kinetic": kin}, bond_dim=4)
+    gs = [1.0] + [0.0] * 6
+    es = [0.0, 1.0] + [0.0] * 5
+    model.init_weight_VIBSTATE = [[es, gs]]
+    e, _ = Simulator(jobname=jobname, model=model,
+                     verbose=0).propagate(maxstep=2, stepsize=0.1)
+    return e
+
+e_db, e_func = run(pot_db, "pes_db"), run(pot_func, "pes_func")
+print(f"E(db route)   = {e_db:.12f}")
+print(f"E(func route) = {e_func:.12f}   |Δ| = {abs(e_db - e_func):.2e}")
+assert abs(e_db - e_func) < 1e-10
+"""),
+]
+
+PYRAZINE = [
+    ("md", """
+# Pyrazine S₂ photodynamics — 24-mode quadratic vibronic coupling
+
+Counterpart of the reference's `pyrazine-qvc` notebook (and the
+`TD_reduced_density_exciton` workflow): the 2-state × 24-mode QVC model
+of Raab et al., JCP 110, 936 (1999).  Site 0 is the electronic (S₁, S₂)
+site; the S₂ ⊗ vacuum wavepacket decays through the conical intersection.
+
+The full-size model is dense-parity tested on its 4-mode reduction
+(`tests/test_pyrazine.py`); production runs
+(`examples/pyrazine_s2_dynamics.py`) use nprim=10, χ=20, 1500 steps —
+this notebook runs a shortened, coarser version so it executes in
+minutes on CPU.
+"""),
+    ("code", PREAMBLE + """
+from pytdscf_tpu import Model, Simulator, spectra, units
+from pytdscf_tpu.models.pyrazine import pyrazine_qvc, OMEGA_EV
+from pytdscf_tpu.util import read_nc
+
+NPRIM, BOND, NSTEP, DT_FS = 8, 12, 120, 0.25
+basis, ham = pyrazine_qvc(nprim=NPRIM)
+model = Model(basis, {"hamiltonian": ham}, bond_dim=BOND)
+model.init_HartreeProduct = [
+    [[0.0, 1.0]] + [[1.0] + [0.0] * (NPRIM - 1)] * (len(basis) - 1)
+]
+print(f"{len(basis)} sites (1 electronic + {len(basis)-1} modes)")
+"""),
+    ("code", """
+sim = Simulator("pyrazine", model, verbose=0)
+e, _ = sim.propagate(
+    maxstep=NSTEP, stepsize=DT_FS,
+    reduced_density=([(0, 0)], 4), autocorr=True,
+)
+print(f"<H> = {e:.8f} Eh")
+"""),
+    ("md", """
+## Electronic populations through the conical intersection
+
+The S₂ population transfers to S₁ within ~20 fs — the hallmark of this
+model.
+"""),
+    ("code", """
+rd = read_nc("pyrazine_prop/reduced_density.nc", [(0, 0)])
+rho = np.asarray(rd[(0, 0)])
+t = np.asarray(rd["time"])
+plt.figure(figsize=(7, 3))
+plt.plot(t, rho[:, 0, 0].real, label="S$_1$")
+plt.plot(t, rho[:, 1, 1].real, label="S$_2$")
+plt.xlabel("time [fs]"); plt.ylabel("population"); plt.legend()
+plt.title("pyrazine S$_2$ → S$_1$ internal conversion (24 modes)")
+plt.tight_layout(); plt.show()
+print("populations at t =", round(float(t[-1]), 1), "fs:",
+      np.round([rho[-1, 0, 0].real, rho[-1, 1, 1].real], 4))
+assert rho[-1, 1, 1].real < 0.6   # S2 has decayed substantially
+"""),
+    ("md", """
+## UV absorption band
+
+Damped FFT of ⟨ψ(0)|ψ(t)⟩, shifted so the band lands on the experimental
+S₂ origin window (the notebook's E₀ convention).
+"""),
+    ("code", """
+time, auto = spectra.load_autocorr("pyrazine_prop/autocorr.dat")
+damp = np.exp(-np.abs(time) / 30.0)
+e0_ev = 0.5 * sum(OMEGA_EV) - (3.94 + 4.89) / 2.0
+freq, inten = spectra.ifft_autocorr(time, auto * damp, E_shift=e0_ev,
+                                    window="cos")
+mask = freq > 0
+nm = 1.0e7 / freq[mask]
+sel = (nm > 200) & (nm < 300)
+plt.figure(figsize=(7, 3))
+plt.plot(nm[sel], inten[sel] / inten[sel].max())
+plt.xlabel("wavelength [nm]"); plt.ylabel("absorption [arb.]")
+plt.title("pyrazine UV band (short-time, coarse-basis estimate)")
+plt.tight_layout(); plt.show()
+print(f"band maximum: {nm[sel][np.argmax(inten[sel])]:.0f} nm")
+"""),
+]
+
+DONOR = [
+    ("md", """
+# Donor–acceptor exciton dissociation (LE/CS + discretised bath)
+
+Counterpart of the reference's `donor-acceptor` notebook — model A of
+Dorfner et al., JCTC 20, 8767 (2024): a 2-level electronic site
+(|LE⟩, |CS⟩) coupled to an intermolecular mode R and a chain of
+effective bath modes.  Production scale is 99 bath modes × 28 Fock
+levels (`examples/donor_acceptor_relaxation.py`,
+`examples/donor_acceptor_model_b.py` for model B); this notebook runs a
+12-bath-mode reduction so it executes in minutes on CPU.
+"""),
+    ("code", PREAMBLE + """
+from pytdscf_tpu import Model, Simulator
+from pytdscf_tpu.models.donor_acceptor import (
+    donor_acceptor, mode_number_operators,
+)
+from pytdscf_tpu.util import read_nc
+
+N_BATH, NFOCK, BOND, NSTEP, DT_FS = 12, 6, 10, 100, 0.5
+basis, ham = donor_acceptor(n_bath=N_BATH, nfock=NFOCK)
+ops = {"hamiltonian": ham}
+ops.update(mode_number_operators(basis))   # per-mode <N_i> observables
+model = Model(basis, ops, bond_dim=BOND)
+vac = [1.0] + [0.0] * (NFOCK - 1)
+model.init_HartreeProduct = [[[1.0, 0.0]] + [vac] * (len(basis) - 1)]
+print(f"{len(basis)} sites: electronic + R + {N_BATH} bath modes")
+"""),
+    ("code", """
+sim = Simulator("donor_acceptor", model, verbose=0)
+e, _ = sim.propagate(
+    maxstep=NSTEP, stepsize=DT_FS,
+    reduced_density=([(0, 0)], 4),
+    observables=True, observables_per_step=4, autocorr=False,
+)
+print(f"<H> = {e:.8f} Eh")
+"""),
+    ("md", """
+## LE → CS population transfer
+"""),
+    ("code", """
+rd = read_nc("donor_acceptor_prop/reduced_density.nc", [(0, 0)])
+rho = np.asarray(rd[(0, 0)])
+t = np.asarray(rd["time"])
+plt.figure(figsize=(7, 3))
+plt.plot(t, rho[:, 0, 0].real, label="LE")
+plt.plot(t, rho[:, 1, 1].real, label="CS")
+plt.xlabel("time [fs]"); plt.ylabel("population"); plt.legend()
+plt.title("exciton dissociation: LE → CS charge transfer")
+plt.tight_layout(); plt.show()
+print("final populations  LE %.4f  CS %.4f" %
+      (rho[-1, 0, 0].real, rho[-1, 1, 1].real))
+"""),
+    ("md", """
+## Vibrational energy flow into the bath
+
+Per-mode occupations ⟨N̂ᵢ⟩ stream to `expectations.dat`
+(`observables=True`); the heatmap shows the dissipated quanta spreading
+over the bath chain.
+"""),
+    ("code", """
+raw = np.loadtxt("donor_acceptor_prop/expectations.dat", skiprows=1)
+with open("donor_acceptor_prop/expectations.dat") as fh:
+    names = fh.readline().split()[3:]      # after "# time [unit]"
+tt, occ = raw[:, 0], raw[:, 1:]
+plt.figure(figsize=(7, 3.2))
+plt.pcolormesh(tt, np.arange(1, len(names) + 1), occ.T, cmap=SEQ_CMAP,
+               shading="auto")
+plt.colorbar(label=r"$\\langle N_i \\rangle$")
+plt.xlabel("time [fs]"); plt.ylabel("mode index (1 = R)")
+plt.title("vibrational quanta spreading over the bath chain")
+plt.tight_layout(); plt.show()
+print("total quanta at t_end: %.4f" % occ[-1].sum())
+"""),
+]
+
+
 def main() -> None:
     os.makedirs(OUTDIR, exist_ok=True)
     jobs = [
         ("h2o_ir_spectrum.ipynb", H2O),
         ("radical_pair_liouville.ipynb", RADICAL_PAIR),
         ("parallel_spmd.ipynb", PARALLEL),
+        ("henon_heiles_dvr.ipynb", HENON),
+        ("grid_pes_database.ipynb", GRIDPES),
+        ("pyrazine_qvc.ipynb", PYRAZINE),
+        ("donor_acceptor.ipynb", DONOR),
     ]
     only = sys.argv[1:] or None
     for name, cells in jobs:
