@@ -695,14 +695,14 @@ e0_ev = 0.5 * sum(OMEGA_EV) - (3.94 + 4.89) / 2.0
 freq, inten = spectra.ifft_autocorr(time, auto * damp, E_shift=e0_ev,
                                     window="cos")
 mask = freq > 0
-nm = 1.0e7 / freq[mask]
+nm, band = 1.0e7 / freq[mask], inten[mask]
 sel = (nm > 200) & (nm < 300)
 plt.figure(figsize=(7, 3))
-plt.plot(nm[sel], inten[sel] / inten[sel].max())
+plt.plot(nm[sel], band[sel] / band[sel].max())
 plt.xlabel("wavelength [nm]"); plt.ylabel("absorption [arb.]")
 plt.title("pyrazine UV band (short-time, coarse-basis estimate)")
 plt.tight_layout(); plt.show()
-print(f"band maximum: {nm[sel][np.argmax(inten[sel])]:.0f} nm")
+print(f"band maximum: {nm[sel][np.argmax(band[sel])]:.0f} nm")
 """),
 ]
 
