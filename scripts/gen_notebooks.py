@@ -783,6 +783,76 @@ print("total quanta at t_end: %.4f" % occ[-1].sum())
 ]
 
 
+LVC = [
+    ("md", """
+# LVC vibronic dynamics: nonadiabatic population transfer + coherences
+
+Counterpart of the reference's `LVC` notebook (and the electronic half
+of `TD_reduced_density_exciton`): a 2-state × 2-mode linear vibronic
+coupling exciton model — displaced harmonic surfaces with a constant
+diabatic coupling — propagated from state S₁, tracking per-state
+populations, the electronic coherence, and the autocorrelation.
+
+The flagship LVC regression (`tests/test_exciton_propagate.py`) pins the
+4-site variant to the reference energy literal 0.010000180312707298 Eh.
+"""),
+    ("code", PREAMBLE + """
+from pytdscf_tpu.basis import PrimBas_HO
+from pytdscf_tpu.model import BasInfo, Model
+from pytdscf_tpu.operators.sop import PolynomialHamiltonian
+from pytdscf_tpu.simulator import Simulator
+from pytdscf_tpu.util.helper_input import matJ_1D_exciton
+from pytdscf_tpu.util import read_nc
+
+freqs = [763.31, 1556.64]           # cm-1
+disps = [0.317, 0.429]              # dimensionless displacements
+s0 = [PrimBas_HO(0.0, f, 6) for f in freqs]
+s1 = [PrimBas_HO(d, f, 6) for f, d in zip(freqs, disps)]
+prim, _, _, matJ = matJ_1D_exciton(2, 6, s0, s1, 2.0e-03)
+basinfo = BasInfo(prim)
+ham = PolynomialHamiltonian(basinfo.get_ndof(), basinfo.get_nstate())
+ham.coupleJ = matJ                  # diabatic coupling J = 2e-3 Eh
+ham.set_HO_potential(basinfo)       # displaced HO surfaces per state
+model = Model(basinfo, {"hamiltonian": ham}, bond_dim=8)
+model.init_weight_ESTATE = [1.0, 0.0]
+print("2 states x", basinfo.get_ndof(), "modes, J =", matJ[0][1])
+"""),
+    ("code", """
+sim = Simulator("lvc", model, verbose=0)
+e, wf = sim.propagate(maxstep=300, stepsize=0.2, autocorr=True,
+                      populations=True, energy=True)
+print(f"<H> = {e:.10f} Eh")
+"""),
+    ("md", """
+## Populations and electronic coherence
+
+`populations.dat` streams per-state weights; the engine's in-memory
+state-pair overlap gives the coherence |⟨ψ₀|ψ₁⟩|.
+"""),
+    ("code", """
+pops = np.loadtxt("lvc_prop/populations.dat", skiprows=1)
+plt.figure(figsize=(7, 3))
+plt.plot(pops[:, 0], pops[:, 1], label="S$_1$ (initial)")
+plt.plot(pops[:, 0], pops[:, 2], label="S$_2$")
+plt.xlabel("time [fs]"); plt.ylabel("population"); plt.legend()
+plt.title("LVC nonadiabatic population transfer")
+plt.tight_layout(); plt.show()
+print("populations at t_end:", np.round(pops[-1, 1:], 4),
+      " sum:", round(pops[-1, 1:].sum(), 8))
+"""),
+    ("code", """
+from pytdscf_tpu import spectra
+t, ac = spectra.load_autocorr("lvc_prop/autocorr.dat")
+plt.figure(figsize=(7, 2.6))
+plt.plot(t, np.abs(ac))
+plt.xlabel("time [fs]"); plt.ylabel("|⟨ψ(0)|ψ(t)⟩| (T/2 trick)")
+plt.title("autocorrelation")
+plt.tight_layout(); plt.show()
+print(f"|a| range: {np.abs(ac).min():.4f} – {np.abs(ac).max():.4f}")
+"""),
+]
+
+
 def main() -> None:
     os.makedirs(OUTDIR, exist_ok=True)
     jobs = [
@@ -793,6 +863,7 @@ def main() -> None:
         ("grid_pes_database.ipynb", GRIDPES),
         ("pyrazine_qvc.ipynb", PYRAZINE),
         ("donor_acceptor.ipynb", DONOR),
+        ("lvc_vibronic.ipynb", LVC),
     ]
     only = sys.argv[1:] or None
     for name, cells in jobs:
