@@ -497,6 +497,15 @@ class SPMDPITDVP:
         if operator is not None and operator is not self._orig_ham:
             Wop = self._operator_W(operator)
             if Wop is None:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "expectation(): operator MPO (nstate=%s) cannot map "
+                    "onto this %s chain — falling back to a gathered "
+                    "serial contraction (host transfer of the full MPS)",
+                    getattr(operator, "nstate", 1),
+                    "converted" if self._conv is not None else "plain",
+                )
                 return self._gather_engine().expectation(operator)
         else:
             Wop = self.W
@@ -521,10 +530,29 @@ class SPMDPITDVP:
                 )
 
                 ne = self._conv["nstate"]
-                if getattr(operator, "nstate", 1) != ne:
-                    return None
+                op_ns = getattr(operator, "nstate", 1)
                 phys0 = self._conv["phys_dims"][1:]
-                fused_ms = operator.fused_mpo(phys0)
+                if op_ns == ne:
+                    fused_ms = operator.fused_mpo(phys0)
+                elif op_ns == 1:
+                    # lift a single-state operator onto the converted
+                    # chain as the |0⟩⟨0| block — exactly the serial
+                    # engine's semantics (``tdvp.expectation`` iterates
+                    # operator.nstate pairs, so a 1-state O measures
+                    # state 0's component).  Users wanting O ⊗ 1_elec
+                    # pass an ne-state block-diagonal operator.
+                    cores_1 = operator.fused_mpo(phys0)[0][0]
+                    if cores_1 is None:
+                        return None
+                    fused_ms = [
+                        [
+                            cores_1 if i == j == 0 else None
+                            for j in range(ne)
+                        ]
+                        for i in range(ne)
+                    ]
+                else:
+                    return None
                 conv_op = electronic_site_mpo(
                     fused_ms, ne,
                     pad_sites=self._conv["pad_sites"],
@@ -2110,7 +2138,7 @@ def _build_observable(
                 S2 = S @ X
                 S2, dl = _norm_log(S2)
                 S = S2
-                logs = logs.at[cnt].add(dl)
+                logs = logs.at[cnt].add(dl.astype(logs.dtype))
 
                 def site(carry, cw):
                     buf_, S_, cnt_, logs_ = carry
@@ -2128,7 +2156,7 @@ def _build_observable(
                     nS_t, d_t = _norm_log(nS_t)
                     buf_ = jnp.where(k_, buf_k, buf_)
                     nS = jnp.where(k_, eyeD, nS_t)
-                    dlog = jnp.where(k_, 0.0, d_t)
+                    dlog = jnp.where(k_, 0.0, d_t).astype(logs_.dtype)
                     ncnt = cnt_ + k_.astype(cnt_.dtype)
                     logs_ = logs_.at[ncnt].add(dlog)
                     return (buf_, nS, ncnt, logs_), None

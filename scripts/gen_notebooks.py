@@ -2,16 +2,25 @@
 
 The reference documents its workflows as ~20 Jupyter notebooks
 (``/root/reference/docs/notebook/``); ``docs/WORKFLOWS.md`` maps that
-surface to this package.  This script materialises the three core
-workflows as EXECUTED notebooks (outputs stored, CPU, complex128
-parity precision) so users get the same teach-by-notebook experience:
+surface to this package.  This script materialises the workflows as
+EXECUTED notebooks (outputs stored, CPU, complex128 parity precision)
+so users get the same teach-by-notebook experience:
 
-  1. h2o_ir_spectrum.ipynb        — relax → operate(μ) → propagate → FFT
-  2. radical_pair_liouville.ipynb — open-system Liouville MPDO dynamics
-  3. parallel_spmd.ipynb          — chain-parallel SPMD sweep + batched
-                                    trajectory ensembles on a device mesh
+  1.  h2o_ir_spectrum.ipynb        — relax → operate(μ) → propagate → FFT
+  2.  radical_pair_liouville.ipynb — open-system Liouville MPDO dynamics
+  3.  parallel_spmd.ipynb          — chain-parallel SPMD sweep + batched
+                                     trajectory ensembles on a device mesh
+  4.  henon_heiles_dvr.ipynb       — HO/Sine DVR + TD reduced densities
+  5.  grid_pes_database.ipynb      — DVR_Mesh → PES db → nMR MPO pipeline
+  6.  pyrazine_qvc.ipynb           — 24-mode QVC S2 decay + UV band
+  7.  donor_acceptor.ipynb         — LE→CS exciton dissociation
+  8.  lvc_vibronic.ipynb           — LVC vibronic dynamics
+  9.  mps_mctdh_hybrid.ipynb       — MPS-MCTDH hybrid vs full-rank MPS
+  10. adaptive_bond_dimension.ipynb— adaptive-D a1TDVP walkthrough
+  11. butadiene_ir_chain.ipynb     — polyene relax→operate→propagate IR
+  12. sse_ensemble.ipynb           — batched SSE trajectory ensembles
 
-Run:  python scripts/gen_notebooks.py          (~5 min CPU)
+Run:  python scripts/gen_notebooks.py [name-filter ...]   (~25 min CPU)
 """
 
 from __future__ import annotations
@@ -866,14 +875,15 @@ def main() -> None:
         ("lvc_vibronic.ipynb", LVC),
     ]
     only = sys.argv[1:] or None
+    if REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+        )
     for name, cells in jobs:
         if only and not any(o in name for o in only):
             continue
         nb = build(cells)
         with tempfile.TemporaryDirectory() as wd:
-            env = dict(os.environ)
-            env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-            os.environ["PYTHONPATH"] = env["PYTHONPATH"]
             client = NotebookClient(
                 nb, timeout=1200, kernel_name="python3",
                 resources={"metadata": {"path": wd}},
