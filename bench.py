@@ -36,13 +36,16 @@ def main() -> None:
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_enable_x64", True)
-    # platform-suffixed cache: XLA:CPU AOT entries compiled on a different
-    # machine type (the VM migrates) can SIGILL when reloaded, and mixing
-    # backends in one dir risks exactly that during CPU smoke runs
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        f"/tmp/jaxcache-{jax.devices()[0].platform}",
+    # persistent compilation cache (platform- and, on CPU, machine-
+    # fingerprint-suffixed: cross-machine XLA:CPU AOT entries can SIGILL)
+    from pytdscf_tpu.config import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    warm_cache = bool(
+        cache_dir and os.path.isdir(cache_dir) and os.listdir(cache_dir)
     )
+    log(f"bench: compilation cache {cache_dir} "
+        f"({'warm' if warm_cache else 'cold'})")
 
     import numpy as np
 
@@ -118,7 +121,9 @@ def main() -> None:
     else:
         engine.propagate(dt_au)
     sync()
-    log(f"bench: warmup step (compile) {time.time() - t0:.1f} s")
+    warmup_s = time.time() - t0
+    log(f"bench: warmup step (compile) {warmup_s:.1f} s "
+        f"({'warm' if warm_cache else 'cold'} cache)")
 
     # median over blocks: single-pass timings on this VM scatter ~±30%
     # (tunnel hiccups, host migration); the per-block median is stable
@@ -136,17 +141,41 @@ def main() -> None:
         block_rates.append((time.time() - t0) / per_block)
     sec_per_step = float(np.median(block_rates))
     avg_k, calls, capped = engine.krylov_stats()
+    energy = float(engine.expectation().real)
     log(f"bench: per-block s/step {[round(r, 4) for r in block_rates]}")
     log(f"bench: {sec_per_step:.3f} s/step (median of {blocks} blocks × "
-        f"{per_block} steps; energy={engine.expectation().real:.8f}, "
+        f"{per_block} steps; energy={energy:.8f}, "
         f"AVG Krylov {avg_k:.2f}, cap hits {capped}/{calls})")
+
+    # ---- accuracy self-check: perf artifacts fail LOUDLY on silent
+    # on-chip precision loss (the convert-folding hazard, BASELINE.md).
+    # The f64 literal is this model's ⟨H⟩ after 0.2 fs steps (energy is
+    # conserved, so it holds at every step count); the c64/TPU tolerance
+    # bounds the healthy paths (measured ~9e-7 drift) while any bf16-pass
+    # degradation (~4e-3 relative) trips it.
+    accuracy_ok = True
+    if not np.isfinite(energy):
+        log(f"bench: ACCURACY FAILURE — energy is not finite ({energy})")
+        accuracy_ok = False
+    elif (n_left, n_right) == (61, 122):
+        e_ref = 0.0182253410
+        tol = 5.0e-06 if dtype == "complex64" else 1.0e-07
+        if abs(energy - e_ref) > tol:
+            log(f"bench: ACCURACY FAILURE — energy {energy:.8f} vs "
+                f"literal {e_ref:.8f} (tol {tol:g})")
+            accuracy_ok = False
 
     print(json.dumps({
         "metric": "singlet_fission_184site_tdvp_sec_per_step",
         "value": round(sec_per_step, 4),
         "unit": "s/step",
         "vs_baseline": round(BASELINE_SEC_PER_STEP / sec_per_step, 2),
+        "warmup_s": round(warmup_s, 1),
+        "warm_cache": warm_cache,
+        "accuracy_ok": accuracy_ok,
     }))
+    if not accuracy_ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

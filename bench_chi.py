@@ -72,11 +72,16 @@ def main() -> None:
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_enable_x64", True)
-    # platform-suffixed cache (cross-machine XLA:CPU AOT entries can SIGILL)
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        f"/tmp/jaxcache-{jax.devices()[0].platform}",
+    # persistent compilation cache (platform- and machine-suffixed:
+    # cross-machine XLA:CPU AOT entries can SIGILL)
+    from pytdscf_tpu.config import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    warm_cache = bool(
+        cache_dir and os.path.isdir(cache_dir) and os.listdir(cache_dir)
     )
+    log(f"bench_chi: compilation cache {cache_dir} "
+        f"({'warm' if warm_cache else 'cold'})")
 
     import numpy as np
 
@@ -160,6 +165,9 @@ def main() -> None:
         # χ=1024 — 1.695 → 1.397 s/step with electron populations
         # matching the exact-matvec run to 5e-6 (≤1e-5 bar)
         krylov_relaxed=os.environ.get("BENCH_RELAX", "1") != "0",
+        # first relaxed iteration (exact-matvec prefix length); 1 halves
+        # the exact share — A/B populations before trusting it
+        relax_after=int(os.environ.get("BENCH_RELAX_AFTER", "2")),
         # pallas fused matvec default ON (TPU): 1.397 → 1.310 s/step at
         # χ=1024 (58.3 TFLOP/s) with populations within 9e-6 of exact
         # matvecs; on CPU the kernel would run in (slow) interpret mode,
@@ -208,7 +216,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     float(jnp.linalg.norm(engine.cores[0][0]).real)
-    log(f"bench_chi: warmup step (compile) {time.time() - t0:.1f} s")
+    warmup_s = time.time() - t0
+    log(f"bench_chi: warmup step (compile) {warmup_s:.1f} s "
+        f"({'warm' if warm_cache else 'cold'} cache)")
 
     t0 = time.time()
     for _ in range(steps):
@@ -231,12 +241,66 @@ def main() -> None:
         f"(trace {tr1.real:.6f}, AVG Krylov {avg_k:.2f}, cap hits "
         f"{capped}/{calls}, ~{tflops:.1f} algorithmic TFLOP/s)")
 
+    # ---- accuracy self-check (perf artifacts fail loudly): physical
+    # invariants always; blessed-population literals when a matching
+    # entry exists in bench_expected.json (recorded from f32-exact runs;
+    # a silent precision downgrade — e.g. BENCH_EPREC=default's bf16x1
+    # env transfer — drifts populations past the stored tolerance).
+    accuracy_ok = True
+
+    def fail(msg: str) -> None:
+        nonlocal accuracy_ok
+        log(f"bench_chi: ACCURACY FAILURE — {msg}")
+        accuracy_ok = False
+
+    if not (np.isfinite(tr1.real) and np.all(np.isfinite(pops))):
+        fail(f"non-finite trace/populations: {tr1}, {pops}")
+    else:
+        if not (0.90 <= tr1.real <= 1.0001):
+            fail(f"trace {tr1.real:.6f} outside the physical "
+                 f"Haberkorn-decay window [0.90, 1.0001]")
+        if abs(tr1.imag) > 1e-3:
+            fail(f"trace imaginary part {tr1.imag:.2e} > 1e-3")
+        if np.any(pops < -1e-4):
+            fail(f"negative electron population: {np.round(pops, 6)}")
+        if abs(float(np.sum(pops)) - tr1.real) > 2e-3:
+            fail(f"Σpops {float(np.sum(pops)):.6f} != trace "
+                 f"{tr1.real:.6f} (tol 2e-3)")
+        key = (f"chi{chi}_nuc{n_nuc}_split{int(split)}"
+               f"_{config.splitting}_dt{os.environ.get('BENCH_DT', '1')}"
+               f"_steps{steps}_{dtype}")
+        expected_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_expected.json",
+        )
+        if os.path.exists(expected_path):
+            with open(expected_path) as fh:
+                entry = json.load(fh).get(key)
+            if entry is not None:
+                ref_pops = np.asarray(entry["pops"], dtype=float)
+                tol = float(entry.get("tol", 5e-5))
+                drift = float(np.max(np.abs(pops - ref_pops)))
+                log(f"bench_chi: blessed-pop check [{key}] max drift "
+                    f"{drift:.2e} (tol {tol:g})")
+                if drift > tol:
+                    fail(f"populations drift {drift:.2e} > {tol:g} vs "
+                         f"blessed literals [{key}]")
+            else:
+                log(f"bench_chi: no blessed entry for [{key}] — "
+                    f"invariant checks only")
+
     print(json.dumps({
         "metric": f"radical_pair_mpdo_chi{chi}_tdvp_sec_per_step",
         "value": round(sec_per_step, 4),
         "unit": "s/step",
         "vs_baseline": round(BASELINE_SEC_PER_STEP / sec_per_step, 3),
+        "warmup_s": round(warmup_s, 1),
+        "warm_cache": warm_cache,
+        "tflops": round(tflops, 1),
+        "accuracy_ok": accuracy_ok,
     }))
+    if not accuracy_ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -68,6 +68,13 @@ class Config:
     #: Honored by the fixed-rank serial sweep and both chain-parallel
     #: engines; the adaptive (a1TDVP) sweeps always run full precision.
     krylov_relaxed: bool = False
+    #: First relaxed Krylov iteration: iterations ``< relax_after`` run
+    #: the exact matvec, the rest the single-bf16-pass one.  2 is the
+    #: conservative default (two exact iterations lock in the leading
+    #: expansion coefficients); 1 halves the exact-matvec share — the
+    #: relaxation bound still holds (only c₀ is locked exactly), but
+    #: A/B the observables before adopting it on a new workload.
+    relax_after: int = 2
     #: Route the relaxed matvec through the pallas-fused TPU kernel
     #: (``mps/pallas_matvec.py``): the whole L·W·R·ψ chain stays in VMEM,
     #: eliminating the two (χ,d,χ,w) HBM intermediates.  Applies to sites
@@ -146,3 +153,45 @@ class Config:
     @property
     def is_relax(self) -> bool:
         return self.relax != "none"
+
+
+def enable_compilation_cache(base: str = "/tmp/jaxcache") -> str | None:
+    """Point JAX at a persistent compilation cache (idempotent).
+
+    Warm-start UX: first TPU compiles here run ~100 s (up to ~20 min for
+    large-χ programs); the persistent cache cuts warm restarts to seconds.
+    The cache dir is suffixed with the backend platform — and, on CPU,
+    with a hash of the host's CPU feature flags — because XLA:CPU AOT
+    entries compiled on a DIFFERENT machine type (VMs migrate) can SIGILL
+    when reloaded.  Opt out with ``PYTDSCF_NO_COMPILE_CACHE=1``.  Returns
+    the cache dir in use (None when disabled)."""
+    import os
+
+    if os.environ.get("PYTDSCF_NO_COMPILE_CACHE") == "1":
+        return None
+    import jax
+
+    current = jax.config.jax_compilation_cache_dir
+    if current:
+        return current
+    tag = jax.devices()[0].platform
+    if tag == "cpu":
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as fh:
+                flags = next(
+                    (ln for ln in fh if ln.startswith("flags")), ""
+                )
+            if flags:
+                tag += "-" + hashlib.sha1(flags.encode()).hexdigest()[:8]
+        except OSError:
+            pass
+    path = f"{base}-{tag}"
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache EVERY program: the engine dispatches ~50 small kernels whose
+    # sub-second compiles are excluded by the default 1 s floor, yet
+    # through the axon tunnel they dominate the warm-start tail
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path

@@ -20,6 +20,7 @@ block — no dynamic shapes needed.
 
 from __future__ import annotations
 
+import os as _os
 from typing import Callable
 
 import jax
@@ -27,6 +28,16 @@ import jax.numpy as jnp
 from jax.scipy.linalg import expm
 
 EPS = 1.0e-14
+
+#: Arnoldi Gram–Schmidt live-prefix threshold: when the Krylov vectors are
+#: at least this long, the full-buffer GS matmuls (which read every padded
+#: slot — k_max·n complex loads per iteration, HBM-bound at large bond
+#: dimension) are replaced by a ``fori_loop`` over the k+1 LIVE rows only
+#: (modified Gram–Schmidt; identical in exact arithmetic).  Small problems
+#: keep the one-matmul form — its fixed cost is lower and the regression
+#: literals embed its round-off.  ``PYTDSCF_GS_PREFIX_N`` overrides
+#: (0 disables).
+GS_PREFIX_MIN_N = int(_os.environ.get("PYTDSCF_GS_PREFIX_N", str(1 << 20)))
 
 
 def krylov_expm(
@@ -178,6 +189,7 @@ def _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype, indexed=False):
     c0 = jnp.zeros((k_max,), dtype=dtype)
     row = jnp.arange(k_max)[:, None]
     col = jnp.arange(k_max)[None, :]
+    live_prefix = GS_PREFIX_MIN_N > 0 and n >= GS_PREFIX_MIN_N
 
     def cond(carry):
         _, _, k, _, _, done = carry
@@ -186,9 +198,25 @@ def _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype, indexed=False):
     def body(carry):
         V, H, k, c_prev, _, _ = carry
         w = matvec(k, V[k]) if indexed else matvec(V[k])
-        # Full Gram–Schmidt (inactive rows are zero — harmless projections).
-        h = jnp.einsum("in,n->i", V.conj(), w)
-        w = w - h @ V
+        if live_prefix:
+            # Modified GS over the k+1 LIVE rows only (traced fori bound):
+            # the padded-buffer matmul form streams all k_max+1 rows from
+            # HBM every iteration — at χ=1024 MPDO shapes that read is a
+            # measurable share of the step (BASELINE.md cost model).
+            def gs_row(j, st):
+                w_, h_ = st
+                hj = jnp.vdot(V[j], w_)
+                return w_ - hj * V[j], h_.at[j].set(hj)
+
+            w, h = jax.lax.fori_loop(
+                0, k + 1, gs_row,
+                (w, jnp.zeros((k_max + 1,), dtype)),
+            )
+        else:
+            # Full Gram–Schmidt (inactive rows are zero — harmless
+            # projections).
+            h = jnp.einsum("in,n->i", V.conj(), w)
+            w = w - h @ V
         b = jnp.linalg.norm(w).real
         V = V.at[k + 1].set(jnp.where(b > EPS, 1.0, 0.0) * w / jnp.where(b > EPS, b, 1.0))
         H = H.at[:, k].set(h)
@@ -214,7 +242,17 @@ def _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype, indexed=False):
         V, H, jnp.asarray(0), c0, jnp.asarray(False), jnp.asarray(False)
     )
     V, _, k_fin, c_fin, bad, _ = jax.lax.while_loop(cond, body, carry)
-    psi_next = c_fin @ V[:k_max]
+    if live_prefix:
+        # c is exactly zero beyond the active block — accumulate only the
+        # k_fin live rows
+        psi_next = jax.lax.fori_loop(
+            0,
+            jnp.minimum(k_fin, k_max),
+            lambda j, acc: acc + c_fin[j] * V[j],
+            jnp.zeros((n,), dtype),
+        )
+    else:
+        psi_next = c_fin @ V[:k_max]
     return psi_next, k_fin, bad
 
 

@@ -91,6 +91,17 @@ CHQR_INVERSE = (
 #: The q-updates (solve / inverse-matmul) stay exact in every round.
 CHQR_MIXED_GRAM = _os.environ.get("PYTDSCF_CHQR_MIXED", "0") == "1"
 
+#: Fast early CholeskyQR rounds (opt-in): every round EXCEPT the last
+#: applies the orthogonalisation as (r, r) triangular-inverse + bf16x3
+#: MXU matmul instead of the exact (N, r) substitution solve.  Same
+#: refinement argument as CHQR_MIXED_GRAM — early-round q errors (here
+#: ~1e-7 relative from the 3-pass product) are corrected by later rounds,
+#: and the FINAL round keeps the exact solve.  Targets the round-3
+#: finding that the CHQR cost sits in the triangular solves
+#: (BASELINE.md): the (r, r) inverse is ~4× less substitution work than
+#: the (N=4r, r) solve and the application becomes one fast MXU pass.
+CHQR_FAST = _os.environ.get("PYTDSCF_CHQR_FAST", "0") == "1"
+
 #: Force the pallas MGS gauge kernel on non-TPU backends (interpret-mode
 #: testing) / disable it everywhere.
 _PALLAS_QR_FORCE = _os.environ.get("PYTDSCF_PLZ_FORCE", "0") == "1"
@@ -138,7 +149,18 @@ def _cholesky_qr(
         s = rel * jnp.maximum(jnp.max(d), jnp.asarray(1e-30, d.dtype))
         g = g + jnp.diag(jnp.where(live, s, 1.0)).astype(g.dtype)
         L = jnp.linalg.cholesky(g)
-        if CHQR_INVERSE:
+        if CHQR_FAST and it < iters - 1:
+            # fast refinement round: q·L^{-†} as one bf16x3 MXU matmul
+            # (error ~1e-7·‖q‖, repaired by the remaining rounds; the
+            # final round below stays exact)
+            Linv = jax.lax.linalg.triangular_solve(
+                L, jnp.eye(r, dtype=L.dtype), left_side=True, lower=True
+            )
+            q = jnp.einsum(
+                "ik,jk->ij", q, Linv.conj(),
+                precision=jax.lax.Precision.HIGH,
+            )
+        elif CHQR_INVERSE:
             # opt-in body: invert the (r, r) factor once and apply
             # q·L^{-†} as an MXU matmul (measured slightly SLOWER than
             # the solve on v5e — see CHQR_INVERSE above; kept for

@@ -208,6 +208,7 @@ def _site_step_impl(
     mv_prec: str = "highest",
     env_prec: str = "highest",
     relaxed: bool = False,
+    relax_after: int = 2,
     pallas: bool = False,
     pallas_small: bool = False,
     pallas_env: bool = False,
@@ -308,6 +309,7 @@ def _site_step_impl(
             arnoldi=arnoldi,
             return_iterations=True,
             matvec_lo=hmv_lo,
+            relax_after=relax_after,
         )
         kry_count = kry_count + jnp.stack(
             [k_used.astype(jnp.int32), jnp.asarray(1, jnp.int32),
@@ -390,6 +392,7 @@ def _site_step_impl(
                 arnoldi=arnoldi,
                 return_iterations=True,
                 matvec_lo=kmv_lo,
+                relax_after=relax_after,
             )
         kry_count = kry_count + jnp.stack(
             [k_used2.astype(jnp.int32), jnp.asarray(1, jnp.int32),
@@ -422,6 +425,7 @@ _site_step = partial(
         "mv_prec",
         "env_prec",
         "relaxed",
+        "relax_after",
         "pallas",
         "pallas_small",
         "pallas_env",
@@ -442,6 +446,7 @@ _site_step = partial(
         "mv_prec",
         "env_prec",
         "relaxed",
+        "relax_after",
         "pallas",
         "pallas_small",
         "pallas_env",
@@ -468,6 +473,7 @@ def _scan_site_steps(
     mv_prec: str = "highest",
     env_prec: str = "highest",
     relaxed: bool = False,
+    relax_after: int = 2,
     pallas: bool = False,
     pallas_small: bool = False,
     pallas_env: bool = False,
@@ -495,6 +501,7 @@ def _scan_site_steps(
             conserve_norm=conserve_norm, arnoldi=arnoldi,
             max_dim=max_dim, last=False, forward=forward,
             mv_prec=mv_prec, env_prec=env_prec, relaxed=relaxed,
+            relax_after=relax_after,
             pallas=pallas, pallas_small=pallas_small,
             pallas_env=pallas_env,
         )
@@ -924,6 +931,7 @@ class TDVPEngine:
             mv_prec=cfg.matvec_precision,
             env_prec=cfg.env_precision,
             relaxed=cfg.krylov_relaxed,
+            relax_after=cfg.relax_after,
             pallas=cfg.pallas_matvec,
             pallas_env=(
                 cfg.pallas_env and cfg.env_precision == "high"

@@ -91,6 +91,12 @@ class Simulator:
         self.model = model
         self.t2_trick = t2_trick
         self.verbose = verbose
+        # persistent compilation cache: warm restarts of the big TPU
+        # programs compile in seconds instead of minutes (idempotent,
+        # PYTDSCF_NO_COMPILE_CACHE=1 opts out)
+        from pytdscf_tpu.config import enable_compilation_cache
+
+        enable_compilation_cache()
         self.checkpoint_backend = "pickle"
         self.backend = backend  # accepted for API parity; engine is JAX-native
         self.ci_type = ci_type.lower()

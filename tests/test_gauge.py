@@ -100,3 +100,35 @@ def test_cholesky_qr_inside_site_shapes():
         np.asarray(q.conj().T @ q), np.eye(r), atol=1e-10
     )
     np.testing.assert_allclose(np.asarray(q @ R), psi, atol=1e-10)
+
+
+def test_cholesky_qr_fast_rounds(monkeypatch):
+    """PYTDSCF_CHQR_FAST: early rounds via (r,r) inverse + bf16x3 matmul.
+
+    Refinement repairs the early-round q errors, so delivered
+    orthogonality matches the exact-solve body and dead channels stay
+    exactly zero (the round-4 CHQR amortisation lever, BASELINE.md)."""
+    monkeypatch.setattr(K, "CHQR_FAST", True)
+    rng = np.random.default_rng(11)
+    N, r, dead = 96, 48, 8
+    u, _ = np.linalg.qr(
+        rng.normal(size=(N, r)) + 1j * rng.normal(size=(N, r))
+    )
+    v, _ = np.linalg.qr(
+        rng.normal(size=(r, r)) + 1j * rng.normal(size=(r, r))
+    )
+    sv = np.logspace(0, -6, r)
+    a = (u * sv) @ v.conj().T
+    a[:, -dead:] = 0.0
+    q, R = K._cholesky_qr(jnp.asarray(a))
+    q, R = np.asarray(q), np.asarray(R)
+    live = np.abs(a).sum(axis=0) > 0
+    gram = q.conj().T @ q
+    np.testing.assert_allclose(
+        gram[np.ix_(live, live)], np.eye(live.sum()), atol=5e-9
+    )
+    assert np.abs(q[:, ~live]).max() == 0.0
+    assert np.abs(R[~live, :]).max() == 0.0
+    # CPU f64: the HIGH-precision einsum is exact there, so Q·R = A holds
+    # tightly; the on-chip accuracy contract is A/B'd in bench_chi
+    np.testing.assert_allclose(q @ R, a, atol=1e-8)

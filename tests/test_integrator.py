@@ -102,6 +102,40 @@ def test_relaxed_mode_with_identical_matvec_is_exact(arnoldi):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("relaxed", [False, True])
+def test_arnoldi_live_prefix_gs_matches_full_buffer(relaxed, monkeypatch):
+    """The live-prefix (fori-loop MGS) Arnoldi GS reproduces the padded-
+    buffer matmul form: same exp(scale·H)v to the integrator threshold
+    and the same iteration count (the round-4 GS-read lever)."""
+    import pytdscf_tpu.mps.integrator as I
+
+    n = 96
+    h = _random_general(n, 21)
+    hj = jnp.asarray(h / np.linalg.norm(h, 2))
+    rng = np.random.default_rng(22)
+    v = rng.normal(size=n) + 1j * rng.normal(size=n)
+    v = jnp.asarray(v / np.linalg.norm(v))
+
+    def mv(x):
+        return hj @ x
+
+    kwargs = dict(
+        scale=-0.35j, thresh=1e-10, max_dim=18, conserve_norm=False,
+        arnoldi=True, return_iterations=True,
+    )
+    if relaxed:
+        kwargs.update(matvec_lo=mv, relax_after=2)
+    a, ka, _ = krylov_expm(mv, v, **kwargs)
+    monkeypatch.setattr(I, "GS_PREFIX_MIN_N", 1)
+    b, kb, _ = krylov_expm(mv, v, **kwargs)
+    assert int(ka) == int(kb)
+    # MGS and CGS differ only in round-off; the result agrees far below
+    # the integrator threshold
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+    exact = dense_expm(-0.35j * np.asarray(hj)) @ np.asarray(v)
+    assert np.linalg.norm(np.asarray(b) - exact) < 1e-8
+
+
 def test_planar_bf16_kernels_match_exact():
     """The relaxed matvec's planar bf16 kernels (bf16 operands AND chain
     intermediates — the HBM-traffic-halving form) reproduce the exact
