@@ -31,13 +31,15 @@ EPS = 1.0e-14
 
 #: Arnoldi Gram–Schmidt live-prefix threshold: when the Krylov vectors are
 #: at least this long, the full-buffer GS matmuls (which read every padded
-#: slot — k_max·n complex loads per iteration, HBM-bound at large bond
-#: dimension) are replaced by a ``fori_loop`` over the k+1 LIVE rows only
-#: (modified Gram–Schmidt; identical in exact arithmetic).  Small problems
-#: keep the one-matmul form — its fixed cost is lower and the regression
-#: literals embed its round-off.  ``PYTDSCF_GS_PREFIX_N`` overrides
-#: (0 disables).
-GS_PREFIX_MIN_N = int(_os.environ.get("PYTDSCF_GS_PREFIX_N", str(1 << 20)))
+#: slot — k_max·n complex loads per iteration) are replaced by a
+#: ``fori_loop`` over the k+1 LIVE rows only (modified Gram–Schmidt;
+#: identical in exact arithmetic).  OPT-IN (0 = disabled, the default):
+#: chip-measured at χ=1024 MPDO shapes the sequential per-row reductions
+#: LOSE ~0.11 s/step against the padded matmul's pipelined bandwidth
+#: (1.416 vs ~1.30 — BASELINE.md round-4), so the matmul form stays the
+#: default; set ``PYTDSCF_GS_PREFIX_N=<n>`` to enable above length n on
+#: latency-tolerant backends.
+GS_PREFIX_MIN_N = int(_os.environ.get("PYTDSCF_GS_PREFIX_N", "0"))
 
 
 def krylov_expm(

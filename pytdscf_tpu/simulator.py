@@ -419,7 +419,42 @@ class Simulator:
             )
         if bond_tp_devices is not None:
             return self._bond_tp_engine(config, cores, bond_tp_devices)
+        self._warn_if_launch_bound(cores)
         return TDVPEngine(cores, self.model.hamiltonian, config)
+
+    def _warn_if_launch_bound(self, cores) -> None:
+        """Advise when a tiny model lands on an accelerator venue.
+
+        Small chains at small bond dimension are launch-overhead-bound on
+        TPU: per-op sequencing + the host↔device tunnel dominate, and the
+        parity-precision CPU path is measurably faster (H2CO 6-mode:
+        15.6 ms/step CPU vs 27.3 ms/step TPU on this framework —
+        BASELINE.md).  The MXU only wins once the per-site contractions
+        carry real FLOPs, so warn below an empirical size cutoff instead
+        of silently running the slower venue."""
+        import jax as _jax
+
+        if _jax.default_backend() == "cpu":
+            return
+        try:
+            max_elems = max(
+                int(np.prod(c.shape)) for st in cores for c in st
+            )
+        except (TypeError, ValueError):
+            return
+        # D·n·D of the largest core; the 184-site bench (D=30, n=8 →
+        # 7200 elems) is already TPU-favourable, H2CO (D=6, n=6 → 216)
+        # is not — cut at 4096 (χ=16 @ n=16)
+        if max_elems < 4096:
+            get_logger(self.jobname).warning(
+                "model is launch-overhead-bound on %s (largest core "
+                "%d elements < 4096): the parity-precision CPU venue is "
+                "typically faster for chains this small — set "
+                "JAX_PLATFORMS=cpu (or jax.config.update('jax_platforms',"
+                " 'cpu')) unless this run shares a process with larger "
+                "models",
+                _jax.default_backend(), max_elems,
+            )
 
     def _alloc_initial_cores(self) -> list[list[np.ndarray]]:
         model = self.model

@@ -862,6 +862,379 @@ print(f"|a| range: {np.abs(ac).min():.4f} – {np.abs(ac).max():.4f}")
 ]
 
 
+HYBRID = [
+    ("md", """
+# MPS-MCTDH hybrid: tensor-train over contracted SPF bases
+
+Counterpart of the reference's MPS-MCTDH workflow (its "non-standard
+method": MPS site dimensions = `nspf` with a time-dependent SPF layer
+below, `/root/reference/pytdscf/_mps_sop.py:111-383`).  Three runs of
+the same 3-mode H₂O quartic force field:
+
+1. **plain MPS** over the primitive HO basis (the standard method),
+2. **hybrid, full-SPF limit** (`nspf == nprim`): must reproduce run 1
+   *exactly* — the square SPF matrices freeze, `(1−P) ≡ 0`,
+3. **hybrid, contracted** (`nspf = 4 < nprim = 6`): the production
+   regime — smaller site dimensions, SPFs co-moving with the state.
+
+Passing an explicit `spf_info` to `BasInfo` is all that switches the
+engine (`is_standard_method` turns False), exactly like the reference.
+"""),
+    ("code", PREAMBLE + """
+import math
+from pytdscf_tpu import units
+from pytdscf_tpu.basis import PrimBas_HO
+from pytdscf_tpu.model import BasInfo, Model
+from pytdscf_tpu.operators.sop import read_potential_nMR
+from pytdscf_tpu.potentials import h2o_k_orig
+from pytdscf_tpu.simulator import Simulator
+
+NPRIM, DT, NSTEP = 6, 0.1, 60
+
+def prim_info():
+    return [[PrimBas_HO(0.0, math.sqrt(h2o_k_orig[(i, i)]) * units.au_in_cm1,
+                        NPRIM) for i in (1, 2, 3)]]
+
+def run(jobname, basinfo, bond_dim):
+    ham = read_potential_nMR(h2o_k_orig)
+    model = Model(basinfo, {"hamiltonian": ham}, bond_dim=bond_dim)
+    e, wf = Simulator(jobname, model, verbose=0).propagate(
+        maxstep=NSTEP, stepsize=DT)
+    auto = np.loadtxt(f"{jobname}_prop/autocorr.dat", dtype=complex,
+                      converters={1: lambda s: complex(s)}, usecols=(1,))
+    t = np.loadtxt(f"{jobname}_prop/autocorr.dat", usecols=(0,))
+    return e, t, auto
+"""),
+    ("code", """
+e_mps, t, auto_mps = run("h2o_plain", BasInfo(prim_info()), 8)
+
+bas_full = BasInfo(prim_info(), [[NPRIM] * 3])   # nspf == nprim
+print("standard method?", bas_full.is_standard_method)
+e_full, _, auto_full = run("h2o_hyb_full", bas_full, 8)
+
+bas_con = BasInfo(prim_info(), [[4, 4, 4]])      # contracted SPF layer
+e_con, _, auto_con = run("h2o_hyb_con", bas_con, 4)
+
+print(f"plain MPS        <H> = {e_mps:.12f} Eh")
+print(f"hybrid full-SPF  <H> = {e_full:.12f} Eh   (Δ = {abs(e_full-e_mps):.2e})")
+print(f"hybrid nspf=4    <H> = {e_con:.12f} Eh   (Δ = {abs(e_con-e_mps):.2e})")
+assert abs(e_full - e_mps) < 1e-10
+"""),
+    ("md", """
+## Autocorrelation: exact full-SPF identity, tight contracted tracking
+
+The full-SPF hybrid curve sits bit-on-top of the plain MPS; the
+contracted hybrid tracks it at the SPF-contraction error (~1e-4 here)
+with sites of dimension 4 instead of 6.
+"""),
+    ("code", """
+plt.figure(figsize=(7, 3))
+plt.plot(t, np.abs(auto_mps), label="plain MPS (nprim=6)")
+plt.plot(t, np.abs(auto_full), "--", label="hybrid, full SPF limit")
+plt.plot(t, np.abs(auto_con), ":", label="hybrid, nspf=4")
+plt.xlabel("time [fs]"); plt.ylabel("|⟨Ψ*|Ψ⟩|"); plt.legend()
+plt.title("MPS-MCTDH hybrid vs plain MPS")
+plt.tight_layout(); plt.show()
+print("full-SPF max dev:", np.abs(auto_full - auto_mps).max())
+print("contracted max dev:", np.abs(auto_con - auto_mps).max())
+"""),
+    ("md", """
+## Hybrid → MCTDH conversion
+
+`MPSMCTDHEngine.to_mctdh()` is the reference's `trans_mps2fci`
+(`_helper.py:165-188`): the tensor train is contracted to a full CI
+tensor over the SPF bases, giving a genuine MCTDH wavefunction.
+"""),
+    ("code", """
+ham = read_potential_nMR(h2o_k_orig)
+model = Model(bas_con, {"hamiltonian": ham}, bond_dim=4)
+sim = Simulator("h2o_conv", model, verbose=0)
+e_hyb, wf = sim.propagate(maxstep=5, stepsize=DT)
+mctdh = wf.engine.to_mctdh()
+print("CI tensor shape:", np.asarray(mctdh.cis[0]).shape)
+e_mctdh = complex(mctdh.expectation()).real
+print(f"hybrid <H> = {e_hyb:.12f}, converted MCTDH <H> = {e_mctdh:.12f}")
+assert abs(e_hyb - e_mctdh) < 1e-8
+"""),
+]
+
+
+ADAPTIVE = [
+    ("md", """
+# Adaptive bond dimension (a1TDVP) walkthrough
+
+Counterpart of the reference's adaptive-rank workflow: 1-site TDVP with
+subspace enrichment grows the bond dimension only where the state needs
+it (projection error `p_proj` opens channels, SVD weight `p_svd` closes
+them), capped at `adaptive_Dmax`.  On TPU the same algorithm runs in the
+**masked** fixed-buffer form (`adaptive_masked=True`): bonds padded to
+static caps with live rank carried as exact-zero channels — no host
+syncs or shape retraces inside the sweep.
+
+Model: the 2-state LVC exciton dimer at STRONG diabatic coupling
+(J = 5e-2 Eh) — population transfer entangles the chain and the rank
+must grow.
+"""),
+    ("code", PREAMBLE + """
+from pytdscf_tpu.basis import PrimBas_HO
+from pytdscf_tpu.model import BasInfo, Model
+from pytdscf_tpu.operators.sop import PolynomialHamiltonian
+from pytdscf_tpu.simulator import Simulator
+from pytdscf_tpu.util.helper_input import matJ_1D_exciton
+
+def build_model(bond_dim):
+    freqs = [763.31, 1556.64]
+    disps = [0.317, 0.429]
+    s0 = [PrimBas_HO(0.0, f, 6) for f in freqs]
+    s1 = [PrimBas_HO(d, f, 6) for f, d in zip(freqs, disps)]
+    prim, _, _, matJ = matJ_1D_exciton(2, 6, s0, s1, 5.0e-02)
+    basinfo = BasInfo(prim)
+    ham = PolynomialHamiltonian(basinfo.get_ndof(), basinfo.get_nstate())
+    ham.coupleJ = matJ
+    ham.set_HO_potential(basinfo)
+    model = Model(basinfo, {"hamiltonian": ham}, bond_dim=bond_dim)
+    model.init_weight_ESTATE = [1.0, 0.0]
+    return model
+"""),
+    ("code", """
+# adaptive run: start from rank 1 (a Hartree product), grow on demand
+# (bonddim.dat streams automatically for adaptive runs)
+e_ad, wf_ad = Simulator("lvc_ad", build_model(1), verbose=0).propagate(
+    maxstep=150, stepsize=0.2,
+    adaptive=True, adaptive_Dmax=12, adaptive_dD=3,
+    adaptive_p_proj=1e-6, adaptive_p_svd=1e-8,
+)
+# fixed-rank reference at the adaptive cap
+e_fx, wf_fx = Simulator("lvc_fx", build_model(12), verbose=0).propagate(
+    maxstep=150, stepsize=0.2,
+)
+print(f"adaptive <H> = {e_ad:.10f} Eh, fixed-D=12 <H> = {e_fx:.10f} Eh")
+print("adaptive final bond dims:", wf_ad.bonddim())
+"""),
+    ("md", """
+## Rank growth follows the entanglement
+
+`bonddim.dat` streams the live per-bond ranks each step: the adaptive
+run starts at rank 1 and opens channels as the wavepacket entangles,
+saturating at (or below) the fixed cap — the sweep only ever pays for
+the rank it uses.
+"""),
+    ("code", """
+def max_rank(path):
+    rows = []
+    with open(path) as fh:
+        next(fh)
+        for line in fh:
+            parts = line.split()
+            rows.append((float(parts[0]),
+                         max(int(x) for x in parts[1:])))
+    return np.asarray(rows)
+
+bd_ad = max_rank("lvc_ad_prop/bonddim.dat")
+plt.figure(figsize=(7, 3))
+plt.step(bd_ad[:, 0], bd_ad[:, 1], where="post", label="adaptive (a1TDVP)")
+plt.axhline(12, ls="--", color=PALETTE[1], label="fixed reference D=12")
+plt.xlabel("time [fs]"); plt.ylabel("max bond dimension"); plt.legend()
+plt.title("adaptive rank growth"); plt.tight_layout(); plt.show()
+print("adaptive final max rank:", int(bd_ad[-1, 1]))
+"""),
+    ("code", """
+p_ad = np.loadtxt("lvc_ad_prop/populations.dat", skiprows=1)
+p_fx = np.loadtxt("lvc_fx_prop/populations.dat", skiprows=1)
+plt.figure(figsize=(7, 3))
+plt.plot(p_ad[:, 0], p_ad[:, 1], label="S$_1$ adaptive")
+plt.plot(p_fx[:, 0], p_fx[:, 1], "--", label="S$_1$ fixed D=12")
+plt.plot(p_ad[:, 0], p_ad[:, 2], label="S$_2$ adaptive")
+plt.plot(p_fx[:, 0], p_fx[:, 2], "--", label="S$_2$ fixed D=12")
+plt.xlabel("time [fs]"); plt.ylabel("population"); plt.legend(ncol=2)
+plt.title("adaptive tracks the converged fixed-rank run")
+plt.tight_layout(); plt.show()
+n = min(len(p_ad), len(p_fx))
+print("max |Δpop|:", np.abs(p_ad[:n, 1:] - p_fx[:n, 1:]).max())
+"""),
+]
+
+
+BUTADIENE = [
+    ("md", """
+# trans-Butadiene IR spectrum: a full relax → operate → propagate chain
+
+The polyene workflow the reference documents across its
+`poly-MPO-*` notebook series, on the bundled 14-active-mode local-mode
+quartic PES + dipole surface of C₄H₆
+(`/root/reference/pytdscf/potentials/c4h6_local_potential.py`).  Three
+chained `Simulator` jobs share restart files:
+
+1. `relax(improved=True)` — imaginary-time + CI diagonalisation to the
+   vibrational ground state (writes `wf_c4h6_gs.pkl`),
+2. `operate` — variational fit of μ·E |0⟩ (reads `_gs`, writes
+   `_operate`),
+3. `propagate` — real-time dynamics of the dipole-excited state; the
+   T/2-trick autocorrelation FFTs into the IR spectrum.
+
+Scale the same cells up with the bundled c6h8 … c14h16 tables.
+"""),
+    ("code", PREAMBLE + """
+import math
+from pytdscf_tpu import spectra, units
+from pytdscf_tpu.basis import PrimBas_HO
+from pytdscf_tpu.model import BasInfo, Model
+from pytdscf_tpu.operators.sop import read_potential_nMR
+from pytdscf_tpu.potentials import load
+from pytdscf_tpu.simulator import Simulator
+
+k_orig = load("c4h6_local_potential")["k_orig"]
+mu = load("c4h6_local_dipole")["mu"]
+modes = sorted({i for key in k_orig for i in key})
+print(f"C4H6 local-mode surface: {len(modes)} active modes")
+
+prim = [[PrimBas_HO(0.0, math.sqrt(k_orig[(m, m)]) * units.au_in_cm1, 6)
+         for m in modes]]
+basinfo = BasInfo(prim)
+model = Model(basinfo, {"hamiltonian": read_potential_nMR(k_orig)},
+              bond_dim=12)
+"""),
+    ("code", """
+e_gs, _ = Simulator("c4h6", model, verbose=0).relax(
+    maxstep=8, stepsize=0.1, improved=True)
+print(f"E_gs = {e_gs:.10f} Eh  (ZPE {e_gs * units.au_in_cm1:.1f} cm-1)")
+"""),
+    ("code", """
+mu_ham = read_potential_nMR(None, dipole_emu=mu, efield=(1e-2, 1e-2, 1e-2),
+                            active_modes=modes)
+model_mu = Model(basinfo, {"hamiltonian": mu_ham}, bond_dim=12)
+norm, _ = Simulator("c4h6", model_mu, verbose=0).operate(
+    maxstep=10, restart=True, loadfile_ext="_gs")
+print(f"|mu E |0>| = {norm:.8f}")
+"""),
+    ("code", """
+Simulator("c4h6", model, verbose=0).propagate(
+    maxstep=400, stepsize=0.2, restart=True, loadfile_ext="_operate")
+t_fs, ac = spectra.load_autocorr("c4h6_prop/autocorr.dat")
+print(f"{len(t_fs)} autocorr samples to {t_fs[-1]:.0f} fs")
+"""),
+    ("md", """
+## IR spectrum
+
+FFT of the (cos²-windowed, resampled) autocorrelation, shifted by the
+ground-state energy — C-H stretch lines land near 3000 cm⁻¹, the C=C
+stretch near 1700 cm⁻¹, CH₂ scissors near 1450 cm⁻¹.
+"""),
+    ("code", """
+freq, inten = spectra.ifft_autocorr(t_fs, ac, E_shift=e_gs * units.au_in_eV)
+spectra.export_spectrum(freq, inten, "c4h6_spectrum.dat")
+sel = (freq > 600) & (freq < 3600)
+plt.figure(figsize=(7.5, 3))
+plt.plot(freq[sel], inten[sel] / inten[sel].max())
+plt.xlabel("wavenumber [cm$^{-1}$]"); plt.ylabel("intensity [arb]")
+plt.title("trans-butadiene IR (14 local modes, D=12)")
+plt.tight_layout(); plt.show()
+top = np.argsort(inten[sel])[-5:]
+print("strongest lines [cm-1]:", np.sort(freq[sel][top]).round(1))
+"""),
+]
+
+
+SSE = [
+    ("md", """
+# Radical-pair SSE ensembles: batched wavefunction trajectories
+
+Counterpart of the reference's `radicalpair-sse.ipynb`: instead of the
+full Liouville-space MPDO, the open system is unravelled into Hilbert-
+space trajectories of the non-Hermitian H_eff (Zeeman + hyperfine +
+exchange + dipolar − (i/2)·Haberkorn), with the nuclear mixed state
+reconstructed by averaging over SU(2) spin-coherent initial states on a
+Sobol sequence (JCP 154, 084121 (2021)).
+
+Where the reference loops one full simulator run per trajectory, the
+TPU-native route advances the ENTIRE ensemble in one scan-compiled
+`shard_map` program (`parallel.batched.batched_sse_propagate`):
+trajectories ride a vmap batch axis through the MXU within each device
+and a `dp` mesh axis across devices; the per-step electron RDM is
+psum-summed in-mesh.  Chip-measured: 9.15×/9.8× vs the serial loop at
+64/256 trajectories (BASELINE.md).
+"""),
+    ("code", PREAMBLE + """
+import jax.numpy as jnp
+from scipy.stats import qmc
+from pytdscf_tpu.model import Model
+from pytdscf_tpu.models.radical_pair import (
+    radical_pair_hamiltonian, spin_coherent_weights)
+from pytdscf_tpu.mps.lattice import alloc_hartree_product
+from pytdscf_tpu.parallel import batched_sse_propagate, make_mesh
+
+NTRAJ, NSTEP, DT_NS, D = 16, 60, 0.5, 16
+hfc = [0.2, 0.35]
+basis, mpo, ele_site = radical_pair_hamiltonian(
+    hfcs_1=[(2, a) for a in hfc], hfcs_2=[(2, a) for a in hfc])
+phys = [b.nstate for b in basis]
+print(len(basis), "sites, electron-pair site at", ele_site,
+      "dims", phys)
+"""),
+    ("code", """
+SINGLET = np.array([0.0, 1 / np.sqrt(2), -1 / np.sqrt(2), 0.0])
+samples = qmc.Sobol(d=2 * len(hfc) * 2, scramble=True, seed=7).random(NTRAJ)
+
+def hartree_products():
+    out = []
+    for u in samples:
+        hp, k = [], 0
+        for s, b in enumerate(basis):
+            if s == ele_site:
+                hp.append(SINGLET)
+            else:
+                hp.append(spin_coherent_weights(
+                    b.nstate, u[2 * k], u[2 * k + 1]))
+                k += 1
+        out.append(hp)
+    return out
+
+model = Model(basis, {"hamiltonian": mpo}, bond_dim=D)
+fused = model.hamiltonian.fused_mpo(phys)[0][0]
+Ws = tuple(jnp.asarray(w, jnp.complex128) for w in fused)
+percore = [alloc_hartree_product(phys, D, hp) for hp in hartree_products()]
+bcores = tuple(
+    jnp.asarray(np.stack([t[p] for t in percore]), jnp.complex128)
+    for p in range(len(phys)))
+"""),
+    ("md", """
+## One dispatch for the whole ensemble
+
+`batched_sse_propagate` scan-compiles `NSTEP` Arnoldi-TDVP steps for all
+`NTRAJ` trajectories, dp-sharded over every available device (8 virtual
+CPU devices here; identical code on a TPU mesh).  Norms decay under the
+Haberkorn CAP — survival is physics, not error.
+"""),
+    ("code", """
+import jax
+ndev = len(jax.devices())
+ndp = max(d for d in range(1, ndev + 1) if NTRAJ % d == 0)
+mesh = make_mesh({"dp": ndp})
+print(f"{NTRAJ} trajectories over {ndp} devices")
+_, rdms = batched_sse_propagate(
+    mesh, bcores, Ws, -0.5j * DT_NS, NSTEP - 1, ele_site)
+rho0 = np.outer(SINGLET, SINGLET.conj())[None]
+rho_t = np.concatenate([rho0, np.asarray(rdms) / NTRAJ])
+print("ensemble RDM trajectory:", rho_t.shape)
+"""),
+    ("code", """
+t_ns = DT_NS * np.arange(NSTEP)
+surv = np.real(np.einsum("tij,ij->t", rho_t,
+                         np.outer(SINGLET, SINGLET.conj()).T))
+trace = np.real(np.einsum("tii->t", rho_t))
+plt.figure(figsize=(7, 3))
+plt.plot(t_ns, surv, label="singlet ⟨S|ρ_e|S⟩")
+plt.plot(t_ns, trace, "--", label="Tr ρ_e (Haberkorn survival)")
+plt.xlabel("time [ns]"); plt.ylabel("probability"); plt.legend()
+plt.title(f"radical-pair SSE ensemble ({NTRAJ} trajectories)")
+plt.tight_layout(); plt.show()
+print(f"singlet: {surv[0]:.4f} -> {surv[-1]:.4f}; "
+      f"survival {trace[-1]:.4f}")
+assert trace[0] > trace[-1] > 0.2
+"""),
+]
+
+
 def main() -> None:
     os.makedirs(OUTDIR, exist_ok=True)
     jobs = [
@@ -873,6 +1246,10 @@ def main() -> None:
         ("pyrazine_qvc.ipynb", PYRAZINE),
         ("donor_acceptor.ipynb", DONOR),
         ("lvc_vibronic.ipynb", LVC),
+        ("mps_mctdh_hybrid.ipynb", HYBRID),
+        ("adaptive_bond_dimension.ipynb", ADAPTIVE),
+        ("butadiene_ir_chain.ipynb", BUTADIENE),
+        ("sse_ensemble.ipynb", SSE),
     ]
     only = sys.argv[1:] or None
     if REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):

@@ -132,6 +132,42 @@ def main():
         _, k_used = f(psi, L, W, R)
         print(f"    iterations used: {int(k_used)}", flush=True)
 
+    # ---- remaining per-site pieces (the BASELINE.md "misc" share)
+    time_chain(lambda x: K.absorb_right(sig, x), psi, label="absorb_right")
+    time_chain(lambda x: K.lq_left(x)[1], psi, label="lq_left (CHQR path)")
+
+    @jax.jit
+    def norm_block(B):
+        n = jnp.linalg.norm(B).real
+        return B / jnp.maximum(n, 1e-30).astype(B.dtype)
+
+    time_chain(norm_block, L, label="_normalize_block (env)")
+
+    # ---- ONE whole fused site step (non-last, forward) vs sum of parts
+    from pytdscf_tpu.mps.tdvp import _site_step_impl
+
+    relax = os.environ.get("PROF_RELAX", "1") != "0"
+    pallas = os.environ.get("PROF_PALLAS", "1") != "0"
+
+    @jax.jit
+    def site_step(psi, nxt, L, W, R):
+        out = _site_step_impl(
+            (psi,), (nxt,), (L,), (W,), (R,),
+            jnp.asarray(-0.05j, DT), 1e-6,
+            pairs=((0, 0),), nstate=1, mode="prop",
+            conserve_norm=False, arnoldi=True, max_dim=7,
+            last=False, forward=True, mv_prec="high", env_prec="high",
+            relaxed=relax, pallas=pallas,
+        )
+        # site_out, psi_next, blocks_new, logs_new, kry
+        return out[1][0]
+
+    nxt = rand_c(rng, CHI, D_PHYS, CHI)
+    time_chain(
+        lambda x: site_step(x, nxt, L, W, R), psi,
+        label=f"WHOLE site step (arnoldi k7 relax={relax} plz={pallas})",
+    )
+
     # ---- complex einsum vs planar-real Karatsuba matmul
     A = rand_c(rng, CHI * D_PHYS, CHI)
     B = rand_c(rng, CHI, CHI)
