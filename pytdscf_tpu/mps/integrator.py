@@ -25,7 +25,6 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import expm
 
 EPS = 1.0e-14
 
@@ -185,6 +184,33 @@ def _lanczos_loop(matvec, v0, scale, thresh, k_max, n, dtype, indexed=False):
     return psi_next, k_fin, bad
 
 
+def _expm_taylor_small(A):
+    """exp(A) of a TINY (k×k) matrix by scaling-and-squaring Taylor.
+
+    Matmul-only: no LU/pivoting — ``jax.scipy.linalg.expm``'s Padé solve
+    runs sequential scalar pivoting on TPU, measured at ~3 ms per Arnoldi
+    iteration at χ=1024 (the dominant non-matvec cost of the MPDO step;
+    the Lanczos path dodged it via eigh, this is the non-Hermitian
+    analog).  Fixed Taylor order 12 after scaling ‖A‖₁ below 1/8:
+    truncation ~(1/8)¹³/13! ≈ 4e-22, far under f32/f64 round-off.
+    """
+    k = A.shape[0]
+    norm1 = jnp.max(jnp.sum(jnp.abs(A), axis=0))
+    # s = max(0, ceil(log2(norm1)) + 3)  → ‖A/2^s‖ ≤ 1/8
+    s = jnp.maximum(
+        0, (jnp.ceil(jnp.log2(jnp.maximum(norm1, 1e-30))) + 3)
+    ).astype(jnp.int32)
+    As = A / (2.0 ** s.astype(A.real.dtype)).astype(A.dtype)
+    eye = jnp.eye(k, dtype=A.dtype)
+    # reverse Horner: p ← I + As·p/c for c = 12, 11, …, 1
+    p = eye
+    for c in range(12, 0, -1):
+        p = eye + (As @ p) / jnp.asarray(c, A.dtype)
+    return jax.lax.fori_loop(
+        jnp.asarray(0, jnp.int32), s, lambda _, m: m @ m, p
+    )
+
+
 def _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype, indexed=False):
     V = jnp.zeros((k_max + 1, n), dtype=dtype).at[0].set(v0)
     H = jnp.zeros((k_max + 1, k_max), dtype=dtype)
@@ -216,8 +242,10 @@ def _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype, indexed=False):
             )
         else:
             # Full Gram–Schmidt (inactive rows are zero — harmless
-            # projections).
-            h = jnp.einsum("in,n->i", V.conj(), w)
+            # projections).  Conjugate the SINGLE new vector, not the
+            # (k_max+1, n) buffer: ⟨V|w⟩ = conj(V·conj(w)) — V.conj()
+            # would stream/materialise the whole padded buffer.
+            h = jnp.einsum("in,n->i", V, w.conj()).conj()
             w = w - h @ V
         b = jnp.linalg.norm(w).real
         V = V.at[k + 1].set(jnp.where(b > EPS, 1.0, 0.0) * w / jnp.where(b > EPS, b, 1.0))
@@ -226,7 +254,7 @@ def _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype, indexed=False):
         # Active upper-left (k+1)×(k+1) block only.
         mask = ((row <= k) & (col <= k)).astype(dtype)
         T = H[:k_max, :k_max] * mask
-        c = expm(scale * T)[:, 0]
+        c = _expm_taylor_small(scale * T)[:, 0]
         # V is orthonormal (full GS), so ‖ψ(k) − ψ(k−1)‖ = ‖c_k − c_{k−1}‖:
         # the convergence test runs in the k_max-dim coefficient space and
         # the n-dim iterate is materialised ONCE after the loop — at large

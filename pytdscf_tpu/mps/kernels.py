@@ -100,7 +100,22 @@ CHQR_MIXED_GRAM = _os.environ.get("PYTDSCF_CHQR_MIXED", "0") == "1"
 #: finding that the CHQR cost sits in the triangular solves
 #: (BASELINE.md): the (r, r) inverse is ~4× less substitution work than
 #: the (N=4r, r) solve and the application becomes one fast MXU pass.
+#: CHIP-MEASURED (round 4): NO end-to-end gain (1.304 vs 1.303 s/step)
+#: with a 4e-4 population drift — rejected as a default, kept for A/B.
 CHQR_FAST = _os.environ.get("PYTDSCF_CHQR_FAST", "0") == "1"
+
+#: Conditional FINAL CholeskyQR round (opt-in): the last round's Gram is
+#: always computed (it is the orthogonality certificate), but its
+#: Cholesky + triangular solve — the expensive part — runs under a
+#: ``lax.cond`` only when the Gram still deviates from identity by more
+#: than ``CHQR_COND_TOL``.  Steady-state TDVP gauge inputs are unitary
+#: evolutions of isometries, so after two rounds the factor is usually
+#: at the f32 floor and the third solve is a no-op; ill-conditioned
+#: calls (the ε-noise canonicalisation, adaptive rank opens) still get
+#: the full repair.  Unlike PYTDSCF_CHQR_ITERS=2 (8e-4 population drift,
+#: rejected round 3), this keeps 3-round QUALITY everywhere.
+CHQR_COND = _os.environ.get("PYTDSCF_CHQR_COND", "0") == "1"
+CHQR_COND_TOL = float(_os.environ.get("PYTDSCF_CHQR_COND_TOL", "1e-5"))
 
 #: Force the pallas MGS gauge kernel on non-TPU backends (interpret-mode
 #: testing) / disable it everywhere.
@@ -147,6 +162,32 @@ def _cholesky_qr(
             jnp.asarray(shift_rel if it == 0 else 0.0, d.dtype), noise_floor
         )
         s = rel * jnp.maximum(jnp.max(d), jnp.asarray(1e-30, d.dtype))
+        if CHQR_COND and it == iters - 1 and it > 0:
+            # adaptive final round: the Gram doubles as the orthogonality
+            # certificate; run the (expensive) Cholesky + solve only when
+            # repair is still needed.  Dead columns contribute exact
+            # zeros on both sides of the deviation.
+            target = jnp.diag(
+                jnp.where(live, 1.0, 0.0).astype(g.real.dtype)
+            ).astype(g.dtype)
+            need = jnp.max(jnp.abs(g - target)) > jnp.asarray(
+                CHQR_COND_TOL, g.real.dtype
+            )
+            g_sh = g + jnp.diag(jnp.where(live, s, 1.0)).astype(g.dtype)
+
+            def _repair(qr):
+                q_, R_ = qr
+                Lr = jnp.linalg.cholesky(g_sh)
+                qn = jax.lax.linalg.triangular_solve(
+                    Lr, q_, left_side=False, lower=True,
+                    transpose_a=True, conjugate_a=True,
+                )
+                return qn, Lr.conj().T @ R_
+
+            q, R_acc = jax.lax.cond(
+                need, _repair, lambda t: t, (q, R_acc)
+            )
+            continue
         g = g + jnp.diag(jnp.where(live, s, 1.0)).astype(g.dtype)
         L = jnp.linalg.cholesky(g)
         if CHQR_FAST and it < iters - 1:

@@ -104,22 +104,32 @@ def main():
     W = rand_c(rng, W_DIM, D_PHYS, D_PHYS, W_DIM)
     psi = rand_c(rng, CHI, D_PHYS, CHI)
 
-    ein = jax.jit(lambda B: K.renorm_block_left(B, psi, W, psi, "high"))
-    ein_hi = jax.jit(
-        lambda B: K.renorm_block_left(B, psi, W, psi, "highest")
+    # complex device arrays must travel as jit ARGUMENTS (captured ones
+    # constant-fold through a host fetch → UNIMPLEMENTED on this backend)
+    ein = jax.jit(
+        lambda B, p, w: K.renorm_block_left(B, p, w, p, "high")
     )
-    stg = jax.jit(lambda B: staged_left(B, psi, W, psi, HIGH))
-    stg_mid_hi = jax.jit(lambda B: staged_left(B, psi, W, psi, HIGHEST))
+    ein_hi = jax.jit(
+        lambda B, p, w: K.renorm_block_left(B, p, w, p, "highest")
+    )
+    stg = jax.jit(lambda B, p, w: staged_left(B, p, w, p, HIGH))
+    stg_mid_hi = jax.jit(
+        lambda B, p, w: staged_left(B, p, w, p, HIGHEST)
+    )
 
-    t_e = time_chain(ein, L, label="einsum prec=high (production)")
-    time_chain(ein_hi, L, label="einsum prec=highest")
-    t_s = time_chain(stg, L, label="staged 3-matmul (mid high)")
-    time_chain(stg_mid_hi, L, label="staged 3-matmul (mid highest)")
+    t_e = time_chain(lambda B: ein(B, psi, W), L,
+                     label="einsum prec=high (production)")
+    time_chain(lambda B: ein_hi(B, psi, W), L, label="einsum prec=highest")
+    t_s = time_chain(lambda B: stg(B, psi, W), L,
+                     label="staged 3-matmul (mid high)")
+    time_chain(lambda B: stg_mid_hi(B, psi, W), L,
+               label="staged 3-matmul (mid highest)")
 
-    ref = ein_hi(L)
+    ref = ein_hi(L, psi, W)
     for name, f in (("einsum-high", ein), ("staged", stg),
                     ("staged-mid-hi", stg_mid_hi)):
-        err = sync(jnp.linalg.norm(f(L) - ref)) / sync(jnp.linalg.norm(ref))
+        delta = f(L, psi, W) - ref
+        err = sync(jnp.linalg.norm(delta)) / sync(jnp.linalg.norm(ref))
         print(f"    {name:20s} rel err vs f32-exact: {err:.2e}",
               flush=True)
     print(f"speedup staged vs einsum: {t_e / t_s:.2f}x", flush=True)

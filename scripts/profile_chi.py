@@ -132,6 +132,23 @@ def main():
         _, k_used = f(psi, L, W, R)
         print(f"    iterations used: {int(k_used)}", flush=True)
 
+    # ---- pure Krylov-loop machinery: free-ish matvec, forced to the cap
+    # (per-iteration cost of GS + buffer updates + expm + convergence)
+    @jax.jit
+    def kry_overhead(v):
+        def mv(x):
+            return x * jnp.asarray(0.9 - 0.05j, DT) + jnp.flip(x) * 0.1
+
+        out = krylov_expm(
+            mv, v.ravel(), jnp.asarray(-0.05j, DT), 1e-30,
+            max_dim=7, conserve_norm=False, arnoldi=True,
+        )
+        return out.reshape(v.shape)
+
+    t = time_chain(kry_overhead, psi,
+                   label="arnoldi loop overhead (7 iters, ~free matvec)")
+    print(f"    per-iteration machinery: {t / 7:.3f} ms", flush=True)
+
     # ---- remaining per-site pieces (the BASELINE.md "misc" share)
     time_chain(lambda x: K.absorb_right(sig, x), psi, label="absorb_right")
     time_chain(lambda x: K.lq_left(x)[1], psi, label="lq_left (CHQR path)")

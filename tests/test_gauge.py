@@ -102,6 +102,48 @@ def test_cholesky_qr_inside_site_shapes():
     np.testing.assert_allclose(np.asarray(q @ R), psi, atol=1e-10)
 
 
+def test_cholesky_qr_conditional_final_round(monkeypatch):
+    """PYTDSCF_CHQR_COND: the final round's Cholesky+solve runs only when
+    the Gram certificate says repair is needed.  Ill-conditioned inputs
+    get the identical full 3-round result; near-orthonormal inputs skip
+    the solve but stay within the certificate tolerance, and Q·R = A and
+    dead-channel exactness hold in both regimes."""
+    rng = np.random.default_rng(13)
+    N, r, dead = 96, 48, 8
+
+    def make(cond_kappa):
+        u, _ = np.linalg.qr(
+            rng.normal(size=(N, r)) + 1j * rng.normal(size=(N, r))
+        )
+        v, _ = np.linalg.qr(
+            rng.normal(size=(r, r)) + 1j * rng.normal(size=(r, r))
+        )
+        sv = np.logspace(0, -np.log10(cond_kappa), r)
+        a = (u * sv) @ v.conj().T
+        a[:, -dead:] = 0.0
+        return a
+
+    for kappa in (1e6, 1.0001):  # stress and near-isometry inputs
+        a = make(kappa)
+        q3, R3 = K._cholesky_qr(jnp.asarray(a))
+        monkeypatch.setattr(K, "CHQR_COND", True)
+        qc, Rc = K._cholesky_qr(jnp.asarray(a))
+        monkeypatch.setattr(K, "CHQR_COND", False)
+        qc, Rc = np.asarray(qc), np.asarray(Rc)
+        live = np.abs(a).sum(axis=0) > 0
+        gram = qc.conj().T @ qc
+        np.testing.assert_allclose(
+            gram[np.ix_(live, live)], np.eye(live.sum()),
+            atol=2 * K.CHQR_COND_TOL,
+        )
+        assert np.abs(qc[:, ~live]).max() == 0.0
+        assert np.abs(Rc[~live, :]).max() == 0.0
+        np.testing.assert_allclose(qc @ Rc, a, atol=1e-9)
+        if kappa > 10:
+            # repair branch fired → identical to the unconditional path
+            np.testing.assert_allclose(qc, np.asarray(q3), atol=1e-12)
+
+
 def test_cholesky_qr_fast_rounds(monkeypatch):
     """PYTDSCF_CHQR_FAST: early rounds via (r,r) inverse + bf16x3 matmul.
 
