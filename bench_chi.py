@@ -165,9 +165,13 @@ def main() -> None:
         # χ=1024 — 1.695 → 1.397 s/step with electron populations
         # matching the exact-matvec run to 5e-6 (≤1e-5 bar)
         krylov_relaxed=os.environ.get("BENCH_RELAX", "1") != "0",
-        # first relaxed iteration (exact-matvec prefix length); 1 halves
-        # the exact share — A/B populations before trusting it
-        relax_after=int(os.environ.get("BENCH_RELAX_AFTER", "2")),
+        # first relaxed iteration (exact-matvec prefix length).  Default
+        # 1 since round 4: chip A/B 1.303 → 1.174 s/step (65 TFLOP/s)
+        # with populations drifting only ~1.4e-5 INCREMENTALLY on top of
+        # the env-high baseline (which itself sits 3.8e-5 from the gold
+        # f32-exact anchor — BASELINE.md); BENCH_RELAX_AFTER=2 restores
+        # the round-3 configuration
+        relax_after=int(os.environ.get("BENCH_RELAX_AFTER", "1")),
         # pallas fused matvec default ON (TPU): 1.397 → 1.310 s/step at
         # χ=1024 (58.3 TFLOP/s) with populations within 9e-6 of exact
         # matvecs; on CPU the kernel would run in (slow) interpret mode,

@@ -301,7 +301,12 @@ def heff_shapes_ok(L, W, R, psi_shape, tk: int = 128, tx: int = 128) -> bool:
         k % tk == 0
         and r % tx == 0
         and b % 16 == 0
-        and b * W.shape[1] * tx * 8 <= 64 * 1024 * 1024  # out+acc VMEM guard
+        # scoped-VMEM guard, calibrated on chip: the kernel's stack
+        # (double-buffered block windows + scratch) measured 114.04 MB at
+        # (b=4096, d=4, tx=128) — 14% over the 100 MB grant — and fits
+        # through b=3072 (χ=3072 bench runs clean).  ~55 B per b·d·tx
+        # unit; beyond it the Krylov falls back to the planar einsum.
+        and b * W.shape[1] * tx * 55 <= 100 * 1024 * 1024
     )
 
 

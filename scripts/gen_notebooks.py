@@ -997,11 +997,14 @@ def build_model(bond_dim):
     return model
 """),
     ("code", """
-# adaptive run: start from rank 1 (a Hartree product), grow on demand
-# (bonddim.dat streams automatically for adaptive runs)
+# adaptive run: start from rank 1 (a Hartree product), grow on demand.
+# adaptive_masked = the TPU-native fixed-buffer form: bonds padded to
+# static caps, live rank carried as exact-zero channels — ONE compiled
+# program for the whole run (the variable-shape form retraces per rank
+# step; bonddim.dat streams automatically either way)
 e_ad, wf_ad = Simulator("lvc_ad", build_model(1), verbose=0).propagate(
     maxstep=150, stepsize=0.2,
-    adaptive=True, adaptive_Dmax=12, adaptive_dD=3,
+    adaptive=True, adaptive_masked=True, adaptive_Dmax=12, adaptive_dD=3,
     adaptive_p_proj=1e-6, adaptive_p_svd=1e-8,
 )
 # fixed-rank reference at the adaptive cap

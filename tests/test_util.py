@@ -113,8 +113,29 @@ def test_plotting(tmp_path):
     )
     plot_heatmap(rho, filename=str(tmp_path / "h.png"))
     assert (tmp_path / "h.png").exists()
-    anim_density_matrix(rho, filename=str(tmp_path / "a.gif"))
+    # annotated phase-coloured Hinton animation (reference
+    # anim_density_matrix.py parity: labels, timestamps, value text)
+    anim_density_matrix(
+        rho, filename=str(tmp_path / "a.gif"),
+        times=np.linspace(0.0, 2.0, 5),
+        row_names=["|0⟩", "|1⟩", "|2⟩"], col_names=["⟨0|", "⟨1|", "⟨2|"],
+        add_text=True,
+    )
     assert (tmp_path / "a.gif").exists()
+    # component heatmap flavour still works
+    anim_density_matrix(
+        rho, filename=str(tmp_path / "re.gif"), component="real"
+    )
+    assert (tmp_path / "re.gif").exists()
+    # validation errors
+    from pytdscf_tpu.util.plotting import ComplexMatrixAnimation
+
+    with pytest.raises(ValueError):
+        ComplexMatrixAnimation(rho[0])
+    with pytest.raises(ValueError):
+        ComplexMatrixAnimation(rho, times=np.arange(3))
+    with pytest.raises(ValueError):
+        ComplexMatrixAnimation(rho, row_names=["a"])
 
 
 def test_minfo_roundtrip(tmp_path):
@@ -152,3 +173,66 @@ Mode 3
     out = tmp_path / "g.log"
     minfo_to_gout(str(path), str(out))
     assert "Frequencies --" in out.read_text()
+
+
+def test_helper_input_exciton_builders():
+    """matJ_1D (incl. genuine CT support — the reference's CT branch
+    raises), matJ_2D, matJ_LH2 (reference helper_input.py:17/130/171;
+    both reference 2D/LH2 bodies NameError on an undefined
+    ndof_per_site — re-implemented working here)."""
+    from pytdscf_tpu import units
+    from pytdscf_tpu.basis import PrimBas_HO
+    from pytdscf_tpu.util.helper_input import (
+        matJ_1D_exciton,
+        matJ_2D_exciton,
+        matJ_LH2_exciton,
+    )
+
+    s0 = [PrimBas_HO(0.0, 1000.0, 4)]
+    s1 = [PrimBas_HO(0.3, 1000.0, 4)]
+    sh = [PrimBas_HO(-0.2, 1000.0, 4)]
+    se = [PrimBas_HO(0.2, 1000.0, 4)]
+
+    # FE-only: unchanged behaviour
+    prim, spf, states, matJ = matJ_1D_exciton(3, 4, s0, s1, 0.01)
+    assert len(prim) == 3 and states == [(0, 0), (1, 1), (2, 2)]
+    assert matJ[0][1] == 0.01 and matJ[0][2] == 0.0
+
+    # CT states: 3 FE + 6 CT, with deltaE/coupleH/coupleE structure
+    prim, spf, states, matJ = matJ_1D_exciton(
+        3, 4, s0, s1, 0.01, with_CT=True, s_hole=sh, s_elec=se,
+        deltaE=0.05, coupleH=0.002, coupleE=0.003,
+    )
+    assert len(states) == 3 + 6 and len(prim) == 9
+    m = np.asarray(matJ)
+    assert m.shape == (9, 9)
+    np.testing.assert_allclose(m, m.T)  # all couplings are symmetric
+    i_ct = states.index((0, 1))
+    assert m[i_ct, i_ct] == 0.05                     # CT diagonal
+    assert m[i_ct, states.index((1, 1))] == 0.002    # hole hop to FE(1)
+    assert m[i_ct, states.index((0, 0))] == 0.003    # electron hop to FE(0)
+    # CT prim basis: hole mol uses s_hole, elec mol s_elec, rest s0
+    row = prim[i_ct]
+    assert row[0] is sh[0] and row[1] is se[0] and row[2] is s0[0]
+
+    matJ2, prim2, spf2, nsites2 = matJ_2D_exciton(2, 3, 4, 0.02, s0, s1)
+    m2 = np.asarray(matJ2)
+    assert m2.shape == (6, 6)
+    np.testing.assert_allclose(m2, m2.T)
+    # 2x3 lattice: 7 undirected nearest-neighbour edges
+    assert (m2 != 0).sum() == 2 * 7
+    assert len(prim2) == 6 and nsites2 == [1] * 6
+
+    matJL, primL, spfL, nsitesL = matJ_LH2_exciton(4)
+    mL = np.asarray(matJL) * units.au_in_cm1
+    assert mL.shape == (27, 27)
+    np.testing.assert_allclose(mL, mL.T, atol=1e-9)
+    # reordered chain: neighbours 0-1 keep the 27 cm-1 intra-unit coupling
+    assert mL[0, 1] == pytest.approx(27.0)
+    # ring-closure couplings (reference wrap block): pigment 0↔26 = −3,
+    # 0↔24 = −25; after reorder 26 sits at chain idx 2 and 24 at idx 6
+    assert mL[0, 2] == pytest.approx(-3.0)
+    assert mL[0, 6] == pytest.approx(-25.0)
+    # diagonal carries the Huang-Rhys-shifted site energies
+    assert mL[0, 0] == pytest.approx(490.0 - 203.3 * 0.056)
+    assert len(primL) == 27 and len(primL[0]) == 27
