@@ -40,6 +40,20 @@ EPS = 1.0e-14
 #: latency-tolerant backends.
 GS_PREFIX_MIN_N = int(_os.environ.get("PYTDSCF_GS_PREFIX_N", "0"))
 
+#: Tuple-of-rows Arnoldi carry threshold: vectors at least this long use
+#: ``_arnoldi_loop_rows``, which carries the Krylov basis as SEPARATE
+#: row arrays instead of one (k_max+1, n) buffer.  Chip-measured (round
+#: 4, free-matvec probe at χ=1024 shapes): reading the stacked buffer
+#: for Gram–Schmidt while writing its next row forces XLA to COPY the
+#: whole buffer every iteration (+1.3 ms/iter on top of the 1.5 ms GS
+#: reads); with tuple rows the row update is an SSA swap (``lax.switch``
+#: branch) and the GS is per-row dots + one fused elementwise
+#: subtraction — same bytes, no copy.  Identical algorithm (classical
+#: GS, same formulas); small problems keep the buffer form whose
+#: round-off the regression literals embed.  ``PYTDSCF_GS_ROWS_N``
+#: overrides (0 disables).
+GS_ROWS_MIN_N = int(_os.environ.get("PYTDSCF_GS_ROWS_N", str(1 << 20)))
+
 
 def krylov_expm(
     matvec: Callable[[jax.Array], jax.Array],
@@ -85,12 +99,22 @@ def krylov_expm(
             return jax.lax.cond(k < relax_after, matvec, matvec_lo, v)
 
     if arnoldi:
-        psi_next, k_used, bad = _arnoldi_loop(
+        loop = (
+            _arnoldi_loop_rows
+            if GS_ROWS_MIN_N > 0 and n >= GS_ROWS_MIN_N
+            else _arnoldi_loop
+        )
+        psi_next, k_used, bad = loop(
             mv, v0, scale, thresh, k_max, n, dtype,
             indexed=matvec_lo is not None,
         )
     else:
-        psi_next, k_used, bad = _lanczos_loop(
+        loop = (
+            _lanczos_loop_rows
+            if GS_ROWS_MIN_N > 0 and n >= GS_ROWS_MIN_N
+            else _lanczos_loop
+        )
+        psi_next, k_used, bad = loop(
             mv, v0, scale, thresh, k_max, n, dtype,
             indexed=matvec_lo is not None,
         )
@@ -283,6 +307,151 @@ def _arnoldi_loop(matvec, v0, scale, thresh, k_max, n, dtype, indexed=False):
         )
     else:
         psi_next = c_fin @ V[:k_max]
+    return psi_next, k_fin, bad
+
+
+def _lanczos_loop_rows(
+    matvec, v0, scale, thresh, k_max, n, dtype, indexed=False
+):
+    """SIL with the Krylov basis carried as SEPARATE row arrays.
+
+    Same oblique-projection recurrence and stopping rule as
+    :func:`_lanczos_loop` (the reference-parity convention); the tuple
+    carry removes the per-iteration buffer copy at large n (see
+    ``GS_ROWS_MIN_N``).  The recurrence only ever touches v_k and
+    v_{k−1}, which ride the carry directly; the full row set is kept for
+    the per-iteration ψ readback the reference's convergence test
+    defines (V is non-orthogonal here, so the coefficient-space shortcut
+    of the Arnoldi loop does not apply).
+    """
+    zero = jnp.zeros((n,), dtype)
+    rows0 = (v0,) + (zero,) * k_max
+    v0_conj = v0.conj()
+    alpha0 = jnp.zeros((k_max,), dtype=dtype)
+    beta0 = jnp.zeros((k_max,), dtype=jnp.float64)
+    idx_d = jnp.arange(k_max)
+    idx_o = jnp.arange(k_max - 1)
+
+    def set_row(rows, k, w):
+        branches = [
+            (lambda j: (lambda rs, x: rs[:j] + (x,) + rs[j + 1:]))(j)
+            for j in range(1, k_max + 1)
+        ]
+        return jax.lax.switch(k, branches, rows, w)
+
+    def cond(carry):
+        return ~carry[-1]
+
+    def body(carry):
+        rows, vk, vkm1, alpha, beta, k, psi_prev, _, _ = carry
+        w = matvec(k, vk) if indexed else matvec(vk)
+        a = jnp.sum(v0_conj * w)
+        beta_prev = jnp.where(k > 0, beta[k - 1], 0.0)
+        w = w - a * vk - beta_prev.astype(dtype) * vkm1
+        b = jnp.linalg.norm(w).real
+        vnext = jnp.where(b > EPS, 1.0, 0.0) * w / jnp.where(
+            b > EPS, b, 1.0
+        )
+        rows = set_row(rows, k, vnext)
+        alpha = alpha.at[k].set(a)
+        beta = beta.at[k].set(b)
+        real = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+        d_mask = (idx_d <= k).astype(real)
+        o_mask = (idx_o < k).astype(real)
+        off = beta[:-1].astype(real) * o_mask
+        diag = alpha.real.astype(real) * d_mask
+        T = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
+        w_e, U = jnp.linalg.eigh(T)
+        c = (U.astype(dtype) * jnp.exp(
+            scale * w_e.astype(dtype))[None, :]) @ U[0].astype(dtype)
+        psi_next = zero
+        for j in range(k_max):
+            psi_next = psi_next + c[j] * rows[j]
+        err = jnp.linalg.norm(psi_next - psi_prev)
+        conv = (k > 0) & (err < thresh)
+        breakdown = b < EPS
+        capped = k + 1 >= k_max
+        done = conv | breakdown | capped
+        bad = capped & ~conv & ~breakdown
+        return rows, vnext, vk, alpha, beta, k + 1, psi_next, bad, done
+
+    carry = (
+        rows0, v0, zero, alpha0, beta0, jnp.asarray(0), zero,
+        jnp.asarray(False), jnp.asarray(False),
+    )
+    *_, k_fin, psi_next, bad, _ = jax.lax.while_loop(cond, body, carry)
+    return psi_next, k_fin, bad
+
+
+def _arnoldi_loop_rows(
+    matvec, v0, scale, thresh, k_max, n, dtype, indexed=False
+):
+    """Arnoldi with the Krylov basis carried as SEPARATE row arrays.
+
+    Same classical-GS algorithm and stopping rule as
+    :func:`_arnoldi_loop`; the tuple carry removes the per-iteration
+    whole-buffer copy XLA emits when one array is both streamed (GS
+    reads) and row-updated in a ``while_loop`` body (see
+    ``GS_ROWS_MIN_N``).  The current Krylov vector rides the carry
+    directly, so no dynamic row read is needed either.
+    """
+    zero = jnp.zeros((n,), dtype)
+    rows0 = (v0,) + (zero,) * k_max
+    H0 = jnp.zeros((k_max + 1, k_max), dtype=dtype)
+    c0 = jnp.zeros((k_max,), dtype=dtype)
+    row_i = jnp.arange(k_max)[:, None]
+    col_i = jnp.arange(k_max)[None, :]
+
+    def set_row(rows, k, w):
+        # replace row k+1 (k ∈ [0, k_max−1]); unchanged rows pass through
+        # as SSA values — no data movement
+        branches = [
+            (lambda j: (lambda rs, x: rs[:j] + (x,) + rs[j + 1:]))(j)
+            for j in range(1, k_max + 1)
+        ]
+        return jax.lax.switch(k, branches, rows, w)
+
+    def cond(carry):
+        _, _, _, k, _, _, done = carry
+        return ~done
+
+    def body(carry):
+        rows, vk, H, k, c_prev, _, _ = carry
+        w = matvec(k, vk) if indexed else matvec(vk)
+        # classical GS: all projections from the same w (⟨r|w⟩ =
+        # conj(Σ r·conj(w)) — conjugate the one new vector, not the rows)
+        wc = w.conj()
+        h = jnp.stack([jnp.sum(r * wc).conj() for r in rows])
+        for j in range(k_max + 1):
+            w = w - h[j] * rows[j]
+        b = jnp.linalg.norm(w).real
+        vnext = jnp.where(b > EPS, 1.0, 0.0) * w / jnp.where(
+            b > EPS, b, 1.0
+        )
+        rows = set_row(rows, k, vnext)
+        H = H.at[:, k].set(h)
+        H = H.at[k + 1, k].set(b.astype(dtype))
+        mask = ((row_i <= k) & (col_i <= k)).astype(dtype)
+        T = H[:k_max, :k_max] * mask
+        c = _expm_taylor_small(scale * T)[:, 0]
+        err = jnp.linalg.norm(c - c_prev)
+        conv = (k > 0) & (err < thresh)
+        breakdown = b < EPS
+        capped = k + 1 >= k_max
+        done = conv | breakdown | capped
+        bad = capped & ~conv & ~breakdown
+        return rows, vnext, H, k + 1, c, bad, done
+
+    carry = (
+        rows0, v0, H0, jnp.asarray(0), c0,
+        jnp.asarray(False), jnp.asarray(False),
+    )
+    rows, _, _, k_fin, c_fin, bad, _ = jax.lax.while_loop(
+        cond, body, carry
+    )
+    psi_next = zero
+    for j in range(k_max):
+        psi_next = psi_next + c_fin[j] * rows[j]
     return psi_next, k_fin, bad
 
 

@@ -149,6 +149,48 @@ def main():
                    label="arnoldi loop overhead (7 iters, ~free matvec)")
     print(f"    per-iteration machinery: {t / 7:.3f} ms", flush=True)
 
+    # break the machinery down: same loop shape with pieces removed
+    n_flat = int(np.prod(psi.shape))
+    k_cap = 7
+
+    def make_loop(gs: bool, buf_write: bool, norm: bool):
+        @jax.jit
+        def run(v):
+            v0 = v.ravel()
+            V = jnp.zeros((k_cap + 1, n_flat), DT).at[0].set(v0)
+
+            def body(carry):
+                V, k, w_prev = carry
+                w = w_prev * jnp.asarray(0.9 - 0.05j, DT) + jnp.flip(
+                    w_prev
+                ) * 0.1
+                if gs:
+                    h = jnp.einsum("in,n->i", V, w.conj()).conj()
+                    w = w - h @ V
+                if norm:
+                    b = jnp.linalg.norm(w).real
+                    w = w / jnp.maximum(b, 1e-30).astype(w.dtype)
+                if buf_write:
+                    V = V.at[k + 1].set(w)
+                return V, k + 1, w
+
+            V, k, w = jax.lax.while_loop(
+                lambda c: c[1] < k_cap, body, (V, jnp.asarray(0), v0)
+            )
+            return w.reshape(psi.shape)
+
+        return run
+
+    for gs, bw, nr, lbl in (
+        (True, True, True, "loop: GS + write + norm"),
+        (False, True, True, "loop: write + norm (no GS)"),
+        (True, False, True, "loop: GS + norm (no buffer write)"),
+        (False, False, True, "loop: norm only"),
+        (False, False, False, "loop: matvec only"),
+    ):
+        t = time_chain(make_loop(gs, bw, nr), psi, label=lbl)
+        print(f"    per-iter: {t / k_cap:.3f} ms", flush=True)
+
     # ---- remaining per-site pieces (the BASELINE.md "misc" share)
     time_chain(lambda x: K.absorb_right(sig, x), psi, label="absorb_right")
     time_chain(lambda x: K.lq_left(x)[1], psi, label="lq_left (CHQR path)")

@@ -136,6 +136,40 @@ def test_arnoldi_live_prefix_gs_matches_full_buffer(relaxed, monkeypatch):
     assert np.linalg.norm(np.asarray(b) - exact) < 1e-8
 
 
+@pytest.mark.parametrize("arnoldi", [True, False])
+@pytest.mark.parametrize("relaxed", [False, True])
+def test_tuple_rows_loops_match_buffer(arnoldi, relaxed, monkeypatch):
+    """The tuple-of-rows Krylov carries (the round-4 copy-free loops used
+    at large n) reproduce the padded-buffer loops: same iteration count,
+    same result to round-off, and the dense-expm answer."""
+    import pytdscf_tpu.mps.integrator as I
+
+    n = 80
+    h = _random_general(n, 31) if arnoldi else _random_hermitian(n, 31)
+    hj = jnp.asarray(h / np.linalg.norm(h, 2))
+    rng = np.random.default_rng(32)
+    v = rng.normal(size=n) + 1j * rng.normal(size=n)
+    v = jnp.asarray(v / np.linalg.norm(v))
+
+    def mv(x):
+        return hj @ x
+
+    kwargs = dict(
+        scale=-0.3j, thresh=1e-10, max_dim=16, conserve_norm=False,
+        arnoldi=arnoldi, return_iterations=True,
+    )
+    if relaxed:
+        kwargs.update(matvec_lo=mv, relax_after=2)
+    monkeypatch.setattr(I, "GS_ROWS_MIN_N", 0)
+    a, ka, _ = krylov_expm(mv, v, **kwargs)
+    monkeypatch.setattr(I, "GS_ROWS_MIN_N", 1)
+    b, kb, _ = krylov_expm(mv, v, **kwargs)
+    assert int(ka) == int(kb)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+    exact = dense_expm(-0.3j * np.asarray(hj)) @ np.asarray(v)
+    assert np.linalg.norm(np.asarray(b) - exact) < 1e-8
+
+
 def test_planar_bf16_kernels_match_exact():
     """The relaxed matvec's planar bf16 kernels (bf16 operands AND chain
     intermediates — the HBM-traffic-halving form) reproduce the exact
