@@ -214,3 +214,34 @@ def test_bond_tp_rejects_retracing_adaptive():
     cfg = Config(jobname="tp_bad", adaptive=True, adaptive_masked=False)
     with pytest.raises(NotImplementedError):
         BondTPEngine([cores], ham, cfg, make_mesh({"tp": 2}))
+
+
+def test_bond_tp_with_tuple_rows_krylov(monkeypatch):
+    """The tuple-of-rows Krylov loops (auto-on at n ≥ 2^20 in production)
+    must survive GSPMD partitioning: force them on at small n and check
+    the χ-sharded engine still matches serial — the lax.switch row swaps
+    and fused per-row GS chains have to partition like the buffer form."""
+    import pytdscf_tpu.mps.integrator as I
+
+    monkeypatch.setattr(I, "GS_ROWS_MIN_N", 1)
+    nsite, nlev, bond, P = 6, 4, 16, 4
+    ham = _coupled_boson_chain(nsite, nlev)
+    cores = _random_cores(nsite, nlev, bond)
+    for integ in ("lanczos", "arnoldi"):
+        cfg = Config(
+            jobname=f"tp_rows_{integ}", thresh_exp=1e-10,
+            scan_sweep=False, integrator=integ,
+            conserve_norm=integ == "lanczos",
+        )
+        ser = TDVPEngine([[c.copy() for c in cores]], ham, cfg)
+        ser.right_canonicalize()
+        tp = BondTPEngine(
+            [[c.copy() for c in cores]], ham, cfg, make_mesh({"tp": P})
+        )
+        tp.right_canonicalize()
+        for _ in range(2):
+            ser.propagate(0.05)
+            tp.propagate(0.05)
+        e_s = complex(ser.expectation())
+        e_t = complex(tp.expectation())
+        assert abs(e_s - e_t) < 1e-9 * max(1.0, abs(e_s)), (integ, e_s, e_t)

@@ -269,3 +269,32 @@ def test_spmd_matches_inprocess_pitdvp():
         ref.propagate(DT)
     assert par.expectation() == pytest.approx(ref.expectation(), abs=1e-04)
     assert par.norm() == pytest.approx(ref.norm(), abs=1e-04)
+
+
+def test_spmd_with_tuple_rows_krylov(monkeypatch):
+    """Force the tuple-of-rows Krylov loops (production default at
+    n ≥ 2^20) inside the shard_map SPMD sweep: the lax.switch row swaps
+    must trace/execute under the collective program and track serial."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    import pytdscf_tpu.mps.integrator as I
+
+    monkeypatch.setattr(I, "GS_ROWS_MIN_N", 1)
+    ham, cores = _model()
+    serial = TDVPEngine(
+        [list(cores)], ham, Config(jobname="rows_s", thresh_exp=1e-10)
+    )
+    par = SPMDPITDVP(
+        list(cores), ham,
+        Config(jobname="rows_p", thresh_exp=1e-10, conserve_norm=False),
+        make_mesh({"chain": 2}),
+    )
+    e0 = serial.expectation().real
+    for _ in range(2):
+        serial.propagate(DT)
+        par.propagate(DT)
+    assert par.expectation() == pytest.approx(
+        serial.expectation().real, abs=5e-4
+    )
+    assert par.norm() == pytest.approx(1.0, abs=5e-4)
+    assert par.expectation() == pytest.approx(e0, abs=5e-4)
