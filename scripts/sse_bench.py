@@ -33,10 +33,9 @@ if os.environ.get("JAX_PLATFORMS"):
 else:
     import jax
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    f"/tmp/jaxcache-{jax.devices()[0].platform}",
-)
+from pytdscf_tpu.config import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 import jax.numpy as jnp  # noqa: E402
 
