@@ -38,3 +38,23 @@ def _clear_jax_caches_between_modules():
     single-process suite lean)."""
     yield
     jax.clear_caches()
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_each_test(request):
+    """Suite-wide policy for the XLA:CPU accumulated-compilation crash.
+
+    KNOWN UPSTREAM ISSUE (no external tracker reachable from this
+    environment — documented here as the single source of truth):
+    XLA:CPU's in-process JIT can segfault deterministically in
+    ``backend_compile_and_load`` after many accumulated compilations in
+    one process.  Reproducer: run ``tests/test_adaptive.py`` solo with
+    this policy disabled — the 4th test crashes compiling its programs
+    on top of the accumulated code heap.  Mitigation: modules whose
+    tests trace many distinct shapes mark themselves with
+    ``@pytest.mark.clear_jax_caches`` (module-level ``pytestmark``) and
+    get a per-TEST cache clear; everything else keeps the cheaper
+    per-module clear above."""
+    yield
+    if request.node.get_closest_marker("clear_jax_caches"):
+        jax.clear_caches()
