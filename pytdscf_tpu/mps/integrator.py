@@ -220,10 +220,13 @@ def _expm_taylor_small(A):
     """
     k = A.shape[0]
     norm1 = jnp.max(jnp.sum(jnp.abs(A), axis=0))
-    # s = max(0, ceil(log2(norm1)) + 3)  → ‖A/2^s‖ ≤ 1/8
-    s = jnp.maximum(
-        0, (jnp.ceil(jnp.log2(jnp.maximum(norm1, 1e-30))) + 3)
-    ).astype(jnp.int32)
+    # s = max(0, ceil(log2(norm1)) + 3)  → ‖A/2^s‖ ≤ 1/8.  Clamped to 64
+    # squarings, and forced to 0 on a non-finite ‖A‖₁ so NaN/Inf leaking
+    # into H_eff propagates out immediately instead of saturating the
+    # float→int32 cast (~2^31) and spinning the squaring loop for hours.
+    s_raw = jnp.ceil(jnp.log2(jnp.maximum(norm1, 1e-30))) + 3
+    s_raw = jnp.where(jnp.isfinite(norm1), s_raw, 0.0)
+    s = jnp.clip(s_raw, 0.0, 64.0).astype(jnp.int32)
     As = A / (2.0 ** s.astype(A.real.dtype)).astype(A.dtype)
     eye = jnp.eye(k, dtype=A.dtype)
     # reverse Horner: p ← I + As·p/c for c = 12, 11, …, 1

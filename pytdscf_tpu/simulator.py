@@ -91,12 +91,6 @@ class Simulator:
         self.model = model
         self.t2_trick = t2_trick
         self.verbose = verbose
-        # persistent compilation cache: warm restarts of the big TPU
-        # programs compile in seconds instead of minutes (idempotent,
-        # PYTDSCF_NO_COMPILE_CACHE=1 opts out)
-        from pytdscf_tpu.config import enable_compilation_cache
-
-        enable_compilation_cache()
         self.checkpoint_backend = "pickle"
         self.backend = backend  # accepted for API parity; engine is JAX-native
         self.ci_type = ci_type.lower()
@@ -279,6 +273,15 @@ class Simulator:
         ``mps/device_io``)."""
         import jax as _jax
 
+        # First backend touch of any propagate/relax/operate call: wire the
+        # persistent compilation cache HERE rather than in __init__, so a
+        # user who constructs Simulator() and only then pins
+        # jax_platforms="cpu" is still honored (backend selection must
+        # precede first backend use — CLAUDE.md).  Idempotent;
+        # PYTDSCF_NO_COMPILE_CACHE=1 opts out.
+        from pytdscf_tpu.config import enable_compilation_cache
+
+        enable_compilation_cache()
         return (
             "complex128" if _jax.default_backend() == "cpu"
             else "complex64"

@@ -11,8 +11,11 @@ improvements over code paths that raise or NameError there):
   (``with_CT=True`` + ``s_hole``/``s_elec`` bases); the reference's CT
   branch raises ``NotImplmentedError`` [sic] while its matJ already
   carries the CT couplings (``deltaE``/``coupleE``/``coupleH``),
-* ``ndof_per_site`` is a real parameter (the reference's 2D/LH2 helpers
-  reference an undefined global and would ``NameError``),
+* ``ndof_per_site`` is a real parameter of the 2D/LH2 builders (the
+  reference's 2D/LH2 helpers reference an undefined global and would
+  ``NameError``).  The 1-D builder drops it: its third return slot
+  carries ``statelist`` — which the CT feature needs — instead of the
+  reference's ``ndof_per_sites`` (trivially ``[1] * ndof`` there),
 * no stray ``print`` side effects.
 """
 
@@ -41,7 +44,6 @@ def matJ_1D_exciton(
     deltaE: float = 0.0,
     coupleE: float = 0.0,
     coupleH: float = 0.0,
-    ndof_per_site: int = 1,
     with_CT: bool = False,
     s_hole: list | None = None,
     s_elec: list | None = None,
