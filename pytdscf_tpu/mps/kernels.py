@@ -346,6 +346,86 @@ def keff_apply(
     )
 
 
+# --------------------------------------------------- bond-TP (χ-sharded)
+# Chain variants of the hot contractions with explicit sharding
+# constraints on the big intermediates, for BondTPEngine
+# (parallel/bond_tp.py).  Without these, GSPMD's propagation through the
+# 4-operand einsums replicates the (χ,w,d,χ) chain tensors on every
+# device (measured: χ=4096 site step 19 GiB temp/device on a 2-mesh —
+# scripts/bond_tp_memcheck.py, round 5).  The distributed scheme over a
+# 1-D "tp" mesh: cores + Krylov vectors sharded on the LEFT bond (axis 0
+# — contiguous when flattened, so the whole Krylov loop stays sharded),
+# env blocks sharded on their ket axis, the heff R-side operand gathered
+# (loop-invariant, hoisted by XLA), and each contraction either local or
+# ending in one reduce-scatter.
+def make_tp_constrainer(mesh, axis: str):
+    """Sharding-constraint helper for the bond-TP chain kernels.
+
+    Returns ``c(x, dim)`` pinning ``x``'s ``dim`` to the mesh axis when
+    divisible (identity otherwise; ``dim=None`` pins fully replicated).
+    ``c.nshard`` exposes the mesh-axis size for divisibility gating by
+    callers.  Returns ``None`` when ``mesh`` is ``None`` so call sites
+    can branch on plain truthiness.
+    """
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    nshard = mesh.shape[axis]
+    rep = NamedSharding(mesh, PartitionSpec())
+
+    def c(x, dim=0):
+        if dim is None:
+            return jax.lax.with_sharding_constraint(x, rep)
+        if nshard <= 1 or x.shape[dim] % nshard:
+            return x
+        spec = [None] * x.ndim
+        spec[dim] = axis
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec(*spec))
+        )
+
+    c.nshard = nshard
+    return c
+
+
+def heff_apply_tp(L, W, R, psi, prec, c):
+    """σ[b,i,x] like :func:`heff_apply`, χ-sharded: ψ sharded on its left
+    bond k, L on its ket k; R/W gathered; chain stays sharded on k until
+    the final contraction reduce-scatters σ onto b."""
+    p = PREC_MAP[prec]
+    t1 = c(jnp.einsum("kjr,xcr->kjxc", psi, R, precision=p), 0)
+    t2 = c(jnp.einsum("kjxc,aijc->kiax", t1, W, precision=p), 0)
+    return c(jnp.einsum("kiax,bak->bix", t2, L, precision=p), 0)
+
+
+def keff_apply_tp(L, R, sig, prec, c):
+    """σ'[b,x] like :func:`keff_apply`, χ-sharded (see heff_apply_tp)."""
+    p = PREC_MAP[prec]
+    t1 = c(jnp.einsum("kr,xar->kxa", sig, R, precision=p), 0)
+    return c(jnp.einsum("kxa,bak->bx", t1, L, precision=p), 0)
+
+
+def renorm_block_left_tp(L, a_bra, W, a_ket, prec, c):
+    """L'[o,c,p] like :func:`renorm_block_left`, χ-sharded: contract the
+    bra pair first (A* gathered once — 1/8 the size of the (χ,w,d,χ)
+    chain tensor a reduce-scatter would move), keep the chain sharded on
+    the old ket k, reduce-scatter the (χ,w,χ) result onto its ket p."""
+    p_ = PREC_MAP[prec]
+    t1 = c(jnp.einsum("bak,bio->kaio", L, a_bra.conj(), precision=p_), 0)
+    t2 = c(jnp.einsum("kaio,aijc->kojc", t1, W, precision=p_), 0)
+    return c(jnp.einsum("kojc,kjp->ocp", t2, a_ket, precision=p_), 2)
+
+
+def renorm_block_right_tp(R, b_bra, W, b_ket, prec, c):
+    """R'[o,c,p] like :func:`renorm_block_right`, χ-sharded (mirror of
+    :func:`renorm_block_left_tp`)."""
+    p_ = PREC_MAP[prec]
+    t1 = c(jnp.einsum("bak,oib->kaoi", R, b_bra.conj(), precision=p_), 0)
+    t2 = c(jnp.einsum("kaoi,cija->kocj", t1, W, precision=p_), 0)
+    return c(jnp.einsum("kocj,pjk->ocp", t2, b_ket, precision=p_), 2)
+
+
 # ------------------------------------------------- relaxed (planar bf16)
 # The relaxed-Krylov low-precision matvec (iterations ≥ relax_after) as an
 # explicitly planar real-imaginary bf16 chain.  vs a prec="default" complex
@@ -374,29 +454,40 @@ def _cx_einsum(eq, a, b, out_dtype=jnp.bfloat16):
     return re.astype(out_dtype), im.astype(out_dtype)
 
 
-def heff_apply_lo(Lp, Wp, Rp, psi: jax.Array) -> jax.Array:
+def _c_pair(c, pair, dim=0):
+    """Apply a bond-TP sharding constraint to a planar (re, im) pair."""
+    return (c(pair[0], dim), c(pair[1], dim)) if c else pair
+
+
+def heff_apply_lo(Lp, Wp, Rp, psi: jax.Array, tp_c=None) -> jax.Array:
     """Single-bf16-pass H_eff matvec with planar operands/intermediates.
 
     ``Lp``/``Wp``/``Rp``: ``planar_bf16`` pairs of the blocks (pre-split by
     the caller, outside the Krylov loop).  Contraction order matches the
-    exact kernel: ψ·R (over r) → ·W (over j,c) → ·L (over a,k)."""
+    exact kernel: ψ·R (over r) → ·W (over j,c) → ·L (over a,k).
+    ``tp_c``: bond-TP constrainer (:func:`make_tp_constrainer`) keeping
+    the chain intermediates χ-sharded under GSPMD."""
     psip = planar_bf16(psi)
-    t1 = _cx_einsum("kjr,xcr->kjxc", psip, Rp)
-    t2 = _cx_einsum("kjxc,aijc->kiax", t1, Wp)
-    sr, si = _cx_einsum("kiax,bak->bix", t2, Lp, out_dtype=jnp.float32)
+    t1 = _c_pair(tp_c, _cx_einsum("kjr,xcr->kjxc", psip, Rp))
+    t2 = _c_pair(tp_c, _cx_einsum("kjxc,aijc->kiax", t1, Wp))
+    sr, si = _c_pair(
+        tp_c, _cx_einsum("kiax,bak->bix", t2, Lp, out_dtype=jnp.float32)
+    )
     return jax.lax.complex(sr, si).astype(psi.dtype)
 
 
-def keff_apply_lo(Lp, Rp, sig: jax.Array) -> jax.Array:
+def keff_apply_lo(Lp, Rp, sig: jax.Array, tp_c=None) -> jax.Array:
     """Single-bf16-pass K_eff matvec (see :func:`heff_apply_lo`)."""
     sigp = planar_bf16(sig)
-    t1 = _cx_einsum("kr,xar->kxa", sigp, Rp)
-    sr, si = _cx_einsum("kxa,bak->bx", t1, Lp, out_dtype=jnp.float32)
+    t1 = _c_pair(tp_c, _cx_einsum("kr,xar->kxa", sigp, Rp))
+    sr, si = _c_pair(
+        tp_c, _cx_einsum("kxa,bak->bx", t1, Lp, out_dtype=jnp.float32)
+    )
     return jax.lax.complex(sr, si).astype(sig.dtype)
 
 
 def make_hmatvec_lo(pairs, Ls, Ws, Rs, shapes, dtype, facs=None,
-                    use_pallas=False):
+                    use_pallas=False, tp_c=None):
     """Relaxed low-precision H_eff matvec over stacked electronic states.
 
     Pre-splits every loop-constant block to bf16 planes at closure-build
@@ -406,6 +497,9 @@ def make_hmatvec_lo(pairs, Ls, Ws, Rs, shapes, dtype, facs=None,
     back to the planar einsum path."""
     from pytdscf_tpu.mps import pallas_matvec as PM
 
+    # a pallas_call is opaque to the GSPMD partitioner — χ-sharded
+    # (bond-TP) programs always take the constrained planar-einsum path
+    use_pallas = use_pallas and tp_c is None
     ops = []
     for (i, j), L, W, R in zip(pairs, Ls, Ws, Rs):
         if use_pallas and PM.heff_shapes_ok(L, W, R, shapes[j]):
@@ -424,7 +518,7 @@ def make_hmatvec_lo(pairs, Ls, Ws, Rs, shapes, dtype, facs=None,
                 term = PM.heff_pallas(lt, wb, rt, psis[j])
             else:
                 lp, wp, rp = op
-                term = heff_apply_lo(lp, wp, rp, psis[j])
+                term = heff_apply_lo(lp, wp, rp, psis[j], tp_c=tp_c)
             if facs is not None:
                 term = term * facs[q].astype(dtype)
             sigs[i] = sigs[i] + term
@@ -434,10 +528,11 @@ def make_hmatvec_lo(pairs, Ls, Ws, Rs, shapes, dtype, facs=None,
 
 
 def make_kmatvec_lo(pairs, Ls, Rs, shapes, dtype, facs=None,
-                    use_pallas=False):
+                    use_pallas=False, tp_c=None):
     """Relaxed low-precision K_eff matvec (see :func:`make_hmatvec_lo`)."""
     from pytdscf_tpu.mps import pallas_matvec as PM
 
+    use_pallas = use_pallas and tp_c is None
     ops = []
     for (i, j), L, R in zip(pairs, Ls, Rs):
         if use_pallas and PM.keff_shapes_ok(L, R, shapes[j]):
@@ -454,7 +549,7 @@ def make_kmatvec_lo(pairs, Ls, Rs, shapes, dtype, facs=None,
                 term = PM.keff_pallas(lt, rt, xs[j])
             else:
                 lp, rp = op
-                term = keff_apply_lo(lp, rp, xs[j])
+                term = keff_apply_lo(lp, rp, xs[j], tp_c=tp_c)
             if facs is not None:
                 term = term * facs[q].astype(dtype)
             out[i] = out[i] + term

@@ -38,16 +38,22 @@ Pair = tuple[int, int]
 
 # ---------------------------------------------------------------- matvecs
 def _make_hmatvec(
-    pairs, Ls, Ws, Rs, shapes, nstate, dtype, facs=None, prec="highest"
+    pairs, Ls, Ws, Rs, shapes, nstate, dtype, facs=None, prec="highest",
+    tp_c=None,
 ):
     """H_eff matvec; ``facs`` restores the scale of log-normalised blocks
-    (see the log-scaled environment scheme in :class:`TDVPEngine`)."""
+    (see the log-scaled environment scheme in :class:`TDVPEngine`).
+    ``tp_c``: bond-TP constrainer (``K.make_tp_constrainer``) routing the
+    contraction through the χ-sharded chain kernels."""
 
     def mv(vec):
         psis = K.split_states(vec, shapes)
         sigs = [jnp.zeros(sh, dtype) for sh in shapes]
         for q, ((i, j), L, W, R) in enumerate(zip(pairs, Ls, Ws, Rs)):
-            term = K.heff_apply(L, W, R, psis[j], prec)
+            if tp_c is not None:
+                term = K.heff_apply_tp(L, W, R, psis[j], prec, tp_c)
+            else:
+                term = K.heff_apply(L, W, R, psis[j], prec)
             if facs is not None:
                 term = term * facs[q].astype(dtype)
             sigs[i] = sigs[i] + term
@@ -56,12 +62,16 @@ def _make_hmatvec(
     return mv
 
 
-def _make_kmatvec(pairs, Ls, Rs, shapes, nstate, dtype, facs=None, prec="highest"):
+def _make_kmatvec(pairs, Ls, Rs, shapes, nstate, dtype, facs=None,
+                  prec="highest", tp_c=None):
     def mv(vec):
         sig_in = K.split_states(vec, shapes)
         sig_out = [jnp.zeros(sh, dtype) for sh in shapes]
         for q, ((i, j), L, R) in enumerate(zip(pairs, Ls, Rs)):
-            term = K.keff_apply(L, R, sig_in[j], prec)
+            if tp_c is not None:
+                term = K.keff_apply_tp(L, R, sig_in[j], prec, tp_c)
+            else:
+                term = K.keff_apply(L, R, sig_in[j], prec)
             if facs is not None:
                 term = term * facs[q].astype(dtype)
             sig_out[i] = sig_out[i] + term
@@ -212,6 +222,8 @@ def _site_step_impl(
     pallas: bool = False,
     pallas_small: bool = False,
     pallas_env: bool = False,
+    tp_mesh=None,
+    tp_axis: str = "tp",
 ):
     """One fused TDVP site update.  Returns (site_out, psi_next, blocks_new).
 
@@ -227,6 +239,12 @@ def _site_step_impl(
     """
     dtype = psis[0].dtype
     shapes = tuple(p.shape for p in psis)
+    # bond-TP: χ-sharded chain kernels + constrained Krylov vectors
+    # (``tp_mesh`` is a static arg — set only by BondTPEngine).  The
+    # pallas kernel paths are opaque to GSPMD and are disabled under TP.
+    tp_c = K.make_tp_constrainer(tp_mesh, tp_axis)
+    if tp_c is not None:
+        pallas = pallas_small = pallas_env = False
     if lLs is None:
         lLs = tuple(jnp.asarray(0.0, jnp.float32) for _ in pairs)
     if lRs is None:
@@ -269,7 +287,8 @@ def _site_step_impl(
             (site_out,), (psi_next,), (blocks_new,), (log_new,), kry
         )
     hmv = _make_hmatvec(
-        pairs, Ls, Ws, Rs, shapes, nstate, dtype, hfacs, prec=mv_prec
+        pairs, Ls, Ws, Rs, shapes, nstate, dtype, hfacs, prec=mv_prec,
+        tp_c=tp_c,
     )
     # relaxed (inexact) Krylov: iterations ≥ 2 run the matvec at a single
     # bf16 pass with planar bf16 operands AND intermediates — their errors
@@ -278,12 +297,17 @@ def _site_step_impl(
     # the HBM traffic of the single-pass regime (K.heff_apply_lo)
     hmv_lo = (
         K.make_hmatvec_lo(
-            pairs, Ls, Ws, Rs, shapes, dtype, hfacs, use_pallas=pallas
+            pairs, Ls, Ws, Rs, shapes, dtype, hfacs, use_pallas=pallas,
+            tp_c=tp_c,
         )
         if relaxed
         else None
     )
     vec = K.stack_states(psis)
+    if tp_c is not None and nstate == 1:
+        # the flat Krylov vector is a contiguous view of the axis-0-sharded
+        # core — pin it so every while_loop carry row stays sharded
+        vec = tp_c(vec, 0) if shapes[0][0] % tp_c.nshard == 0 else vec
     # telemetry: [Σ Krylov iterations, # krylov_expm calls, # cap-hits]
     kry_count = jnp.zeros((3,), jnp.int32)
     if mode == "improved":
@@ -323,30 +347,48 @@ def _site_step_impl(
         qr_out = [K.qr_right(p) for p in psis_new]
         sites_out = tuple(q for q, _ in qr_out)
         svals = tuple(s for _, s in qr_out)
-        raw = [
-            PR.renorm_left_pallas(L, sites_out[i], W, sites_out[j])
-            if pallas_env
-            and PR.left_shapes_ok(L, sites_out[i], W, sites_out[j])
-            else K.renorm_block_left(
-                L, sites_out[i], W, sites_out[j], env_prec
-            )
-            for (i, j), L, W in zip(pairs, Ls, Ws)
-        ]
+        if tp_c is not None:
+            sites_out = tuple(tp_c(q, 0) for q in sites_out)
+            raw = [
+                K.renorm_block_left_tp(
+                    L, sites_out[i], W, sites_out[j], env_prec, tp_c
+                )
+                for (i, j), L, W in zip(pairs, Ls, Ws)
+            ]
+        else:
+            raw = [
+                PR.renorm_left_pallas(L, sites_out[i], W, sites_out[j])
+                if pallas_env
+                and PR.left_shapes_ok(L, sites_out[i], W, sites_out[j])
+                else K.renorm_block_left(
+                    L, sites_out[i], W, sites_out[j], env_prec
+                )
+                for (i, j), L, W in zip(pairs, Ls, Ws)
+            ]
         env_blocks, l_env = Rs, lRs
         l_sys = lLs
     else:
         qr_out = [K.lq_left(p) for p in psis_new]
         svals = tuple(s for s, _ in qr_out)
         sites_out = tuple(b for _, b in qr_out)
-        raw = [
-            PR.renorm_right_pallas(R, sites_out[i], W, sites_out[j])
-            if pallas_env
-            and PR.right_shapes_ok(R, sites_out[i], W, sites_out[j])
-            else K.renorm_block_right(
-                R, sites_out[i], W, sites_out[j], env_prec
-            )
-            for (i, j), R, W in zip(pairs, Rs, Ws)
-        ]
+        if tp_c is not None:
+            sites_out = tuple(tp_c(b, 0) for b in sites_out)
+            raw = [
+                K.renorm_block_right_tp(
+                    R, sites_out[i], W, sites_out[j], env_prec, tp_c
+                )
+                for (i, j), R, W in zip(pairs, Rs, Ws)
+            ]
+        else:
+            raw = [
+                PR.renorm_right_pallas(R, sites_out[i], W, sites_out[j])
+                if pallas_env
+                and PR.right_shapes_ok(R, sites_out[i], W, sites_out[j])
+                else K.renorm_block_right(
+                    R, sites_out[i], W, sites_out[j], env_prec
+                )
+                for (i, j), R, W in zip(pairs, Rs, Ws)
+            ]
         env_blocks, l_env = Ls, lLs
         l_sys = lRs
     normed = [_normalize_block(B) for B in raw]
@@ -365,11 +407,13 @@ def _site_step_impl(
         kLs = blocks_new if forward else env_blocks
         kRs = env_blocks if forward else blocks_new
         kmv = _make_kmatvec(
-            pairs, kLs, kRs, sshapes, nstate, dtype, kfacs, prec=mv_prec
+            pairs, kLs, kRs, sshapes, nstate, dtype, kfacs, prec=mv_prec,
+            tp_c=tp_c,
         )
         kmv_lo = (
             K.make_kmatvec_lo(
-                pairs, kLs, kRs, sshapes, dtype, kfacs, use_pallas=pallas
+                pairs, kLs, kRs, sshapes, dtype, kfacs, use_pallas=pallas,
+                tp_c=tp_c,
             )
             if relaxed
             else None
@@ -408,6 +452,8 @@ def _site_step_impl(
         psi_next = tuple(
             K.absorb_left(nc, s) for s, nc in zip(svals_new, next_cores)
         )
+    if tp_c is not None:
+        psi_next = tuple(tp_c(p, 0) for p in psi_next)
     return sites_out, psi_next, blocks_new, logs_new, kry_count
 
 
@@ -429,6 +475,8 @@ _site_step = partial(
         "pallas",
         "pallas_small",
         "pallas_env",
+        "tp_mesh",
+        "tp_axis",
     ),
 )(_site_step_impl)
 
@@ -450,6 +498,8 @@ _site_step = partial(
         "pallas",
         "pallas_small",
         "pallas_env",
+        "tp_mesh",
+        "tp_axis",
     ),
 )
 def _scan_site_steps(
@@ -477,6 +527,8 @@ def _scan_site_steps(
     pallas: bool = False,
     pallas_small: bool = False,
     pallas_env: bool = False,
+    tp_mesh=None,
+    tp_axis: str = "tp",
 ):
     """A RUN of uniform-shape site steps as ONE ``lax.scan`` program.
 
@@ -503,7 +555,7 @@ def _scan_site_steps(
             mv_prec=mv_prec, env_prec=env_prec, relaxed=relaxed,
             relax_after=relax_after,
             pallas=pallas, pallas_small=pallas_small,
-            pallas_env=pallas_env,
+            pallas_env=pallas_env, tp_mesh=tp_mesh, tp_axis=tp_axis,
         )
         return (
             (psi_next, blocks_new, logs_new, kry_sum + kry),
@@ -792,6 +844,11 @@ class TDVPEngine:
         self._gauge_dev: jax.Array | None = None
         #: fused multi-step programs per relax mode (:meth:`propagate_steps`)
         self._fused_cache: dict[str, object] = {}
+        #: bond-TP mesh/axis — set by :class:`parallel.bond_tp.BondTPEngine`;
+        #: static args of the site-step programs selecting the χ-sharded
+        #: chain kernels (None → serial/unconstrained programs, unchanged)
+        self.tp_mesh = None
+        self.tp_axis: str = "tp"
 
     # ---------------------------------------------------------- helpers
     def _trivial_block(self) -> tuple[jax.Array, ...]:
@@ -941,6 +998,8 @@ class TDVPEngine:
                 and (jax.default_backend() == "tpu"
                      or _os.environ.get("PYTDSCF_PLZ_FORCE") == "1")
             ),
+            tp_mesh=self.tp_mesh,
+            tp_axis=self.tp_axis,
         )
         pos = 0
         while pos < len(order):

@@ -27,11 +27,19 @@ per-site collectives ride ICI on real hardware.
 
 Sharding layout (P = size of the ``"tp"`` axis):
 
-* MPS core ``(l, n, r)``  → sharded on the right bond ``r`` when divisible
-  by P, else on ``l``, else replicated (edge-ramp cores are tiny).
-* env block ``(χ_bra, w, χ_ket)`` → sharded on ``χ_ket`` (same rule).
+* MPS core ``(l, n, r)``  → sharded on the LEFT bond ``l`` when divisible
+  by P, else on ``r``, else replicated (edge-ramp cores are tiny).  The
+  left bond is the leading axis, so the flattened Krylov vector is a
+  contiguous shard — the whole Krylov ``while_loop`` then carries
+  χ-sharded rows.
+* env block ``(χ_bra, w, χ_ket)`` → sharded on ``χ_ket``.
 * fused MPO cores ``(w, d, d, w')`` → replicated (they are small).
-* Krylov/site transients inherit shardings through XLA propagation.
+* Krylov/site transients are PINNED with ``with_sharding_constraint`` in
+  the ``*_tp`` chain kernels (``mps/kernels.py``) — bare propagation
+  through the 4-operand einsums replicates the (χ,w,d,χ) chain tensors
+  (measured 19 GiB/device at χ=4096 — ``scripts/bond_tp_memcheck.py``);
+  with the constraints each contraction is local or ends in one
+  reduce-scatter, and the consumed-side env all-gather is loop-invariant.
 
 Any :class:`~pytdscf_tpu.mps.tdvp.TDVPEngine` feature (Arnoldi/Liouville
 MPDO, relaxed Krylov, observables, checkpointing) works unchanged — the
@@ -52,18 +60,23 @@ from pytdscf_tpu.mps.tdvp import TDVPEngine
 __all__ = ["BondTPEngine", "tp_spec", "state_bytes_per_device"]
 
 
-def tp_spec(shape, nshard: int, axis: str, *, bond_axes=None) -> P:
-    """PartitionSpec sharding the largest divisible bond axis of ``shape``.
+def tp_spec(shape, nshard: int, axis: str, *, bond_axes=None,
+            prefer: str = "right") -> P:
+    """PartitionSpec sharding the first divisible bond axis of ``shape``.
 
     ``bond_axes`` restricts which positions are eligible (e.g. ``(0, 2)``
     for an ``(l, n, r)`` core — the physical axis is never sharded).
-    Preference order is right-to-left so cores shard their right bond and
-    env blocks their ket axis, keeping the layout uniform along the chain.
+    ``prefer`` picks the scan direction: ``"right"`` for env blocks
+    (ket axis sharded — the reduce-scatter target of the χ-sharded
+    renorm kernels), ``"left"`` for cores (left bond sharded, so the
+    flattened Krylov vector is a CONTIGUOUS shard — the layout the
+    sharded site-step chain in ``mps/kernels.py`` heff/keff/renorm
+    ``*_tp`` kernels is built around).
     """
     if bond_axes is None:
         bond_axes = tuple(range(len(shape)))
     spec = [None] * len(shape)
-    for ax in sorted(bond_axes, reverse=True):
+    for ax in sorted(bond_axes, reverse=prefer == "right"):
         if shape[ax] % nshard == 0 and shape[ax] >= nshard > 1:
             spec[ax] = axis
             break
@@ -85,9 +98,13 @@ class BondTPEngine(TDVPEngine):
         if axis not in mesh.axis_names:
             raise ValueError(f"mesh has no axis {axis!r}: {mesh.axis_names}")
         self.mesh = mesh
-        self.tp_axis = axis
         self.nshard = mesh.shape[axis]
         super().__init__(cores, hamiltonian, config)
+        # static args of the site-step programs: select the χ-sharded
+        # chain kernels (constrained intermediates — without them GSPMD
+        # replicates the (χ,w,d,χ) transients; scripts/bond_tp_memcheck.py)
+        self.tp_mesh = mesh
+        self.tp_axis = axis
         if config.adaptive and not config.adaptive_masked:
             raise NotImplementedError(
                 "bond-TP requires static shapes: use adaptive_masked=True "
@@ -110,10 +127,11 @@ class BondTPEngine(TDVPEngine):
     def _reshard(self, x: jax.Array, sh: NamedSharding) -> jax.Array:
         return BondTPEngine._reshard_fn(sh)(x)
 
-    def _pin(self, x: jax.Array, bond_axes) -> jax.Array:
+    def _pin(self, x: jax.Array, bond_axes, prefer: str = "right") -> jax.Array:
         sh = NamedSharding(
             self.mesh,
-            tp_spec(x.shape, self.nshard, self.tp_axis, bond_axes=bond_axes),
+            tp_spec(x.shape, self.nshard, self.tp_axis, bond_axes=bond_axes,
+                    prefer=prefer),
         )
         if x.sharding == sh:  # already placed; skip the dispatch
             return x
@@ -124,7 +142,9 @@ class BondTPEngine(TDVPEngine):
         rep = NamedSharding(self.mesh, P())
         for i in range(self.nstate):
             for p in range(self.nsite):
-                self.cores[i][p] = self._pin(self.cores[i][p], (0, 2))
+                self.cores[i][p] = self._pin(
+                    self.cores[i][p], (0, 2), prefer="left"
+                )
         self.W = {
             pair: tuple(
                 w if w.sharding == rep else self._reshard(w, rep)

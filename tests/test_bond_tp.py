@@ -155,6 +155,104 @@ def test_bond_tp_mpdo_arnoldi_matches_serial():
     assert np.max(np.abs(rdm_s - rdm_t)) < 1e-11
 
 
+def _radical_pair_case(n_nuc: int, chi: int, seed: int = 11):
+    """(model hamiltonian, χ-noise-filled MPDO cores, ele_site) for the
+    split-electron radical-pair Liouvillian — the bench_chi recipe."""
+    from pytdscf_tpu.model import Model
+    from pytdscf_tpu.models.radical_pair import (
+        radical_pair_liouvillian,
+        singlet_product_state,
+    )
+    from pytdscf_tpu.mps.lattice import bond_dims_for_site
+
+    hfc = [round(0.15 + 0.07 * k, 4) for k in range(n_nuc)]
+    basis, mpo, ele_site = radical_pair_liouvillian(
+        hfcs_1=[(2, a) for a in hfc], hfcs_2=[(2, a) for a in hfc],
+        split_electron=True,
+    )
+    ham = Model(
+        basis, {"hamiltonian": mpo}, space="liouville", bond_dim=chi
+    ).hamiltonian
+    phys = [b.nstate for b in basis]
+    vecs = singlet_product_state(basis, ele_site, split_electron=True)
+    cores = alloc_hartree_product(phys, 4, vecs, space="liouville")
+    rng = np.random.default_rng(seed)
+    full = []
+    for p, c in enumerate(cores):
+        m_l, m_r = bond_dims_for_site(phys, p, chi)
+        fc = np.zeros((m_l, phys[p], m_r), dtype=complex)
+        fc[: c.shape[0], :, : c.shape[2]] = c
+        fc += 1e-5 * (
+            rng.normal(size=fc.shape) + 1j * rng.normal(size=fc.shape)
+        )
+        full.append(fc)
+    return ham, full, ele_site
+
+
+def test_bond_tp_chi256_arnoldi_mpdo_matches_serial():
+    """χ=256 Liouville-MPDO runtime parity — the largest χ the virtual
+    CPU mesh executes in test time (VERDICT r4 #1; the χ=4096 capacity
+    claim itself is certified by AOT `memory_analysis` in
+    scripts/bond_tp_memcheck.py and the driver dryrun).  Exercises the
+    χ-sharded chain kernels (heff/keff/renorm `*_tp`) at a bond where
+    the (χ,w,d,χ) chain transients dwarf the cores, with CholeskyQR
+    gauge bonds ≥ 192."""
+    ham, full, ele_site = _radical_pair_case(n_nuc=3, chi=256)
+    cfg = Config(
+        jobname="tp_chi256", space="liouville", integrator="arnoldi",
+        conserve_norm=False, thresh_exp=1e-10, max_krylov=10,
+        scan_sweep=False,
+    )
+    ser = TDVPEngine([[c.copy() for c in full]], ham, cfg)
+    ser.right_canonicalize()
+    mesh = make_mesh({"tp": 4})
+    tp = BondTPEngine([[c.copy() for c in full]], ham, cfg, mesh)
+    tp.right_canonicalize()
+    # the 256-bond bulk cores genuinely live sharded (left bond)
+    mid = len(full) // 2
+    assert "tp" in tuple(tp.cores[0][mid].sharding.spec)
+    ser.propagate(0.2)
+    tp.propagate(0.2)
+    tr_s = complex(ser.trace(0))
+    tr_t = complex(tp.trace(0))
+    assert abs(tr_s - tr_t) < 1e-10, (tr_s, tr_t)
+    legs = (0,) * ele_site + (2, 2)
+    rdm_s = np.asarray(ser.reduced_density_liouville(legs, 0))
+    rdm_t = np.asarray(tp.reduced_density_liouville(legs, 0))
+    assert np.max(np.abs(rdm_s - rdm_t)) < 1e-10
+    total, per_dev = state_bytes_per_device(tp)
+    assert per_dev < 0.45 * total, (per_dev, total)
+
+
+def test_bond_tp_relaxed_krylov_matches_serial():
+    """Relaxed (bf16-pass) Krylov under bond-TP: the shipping large-χ
+    matvec config routes through the planar `heff_apply_lo(tp_c=...)`
+    chain; parity vs the serial engine running the IDENTICAL relaxed
+    algorithm (differences are cross-device f32 reduction order only)."""
+    ham, full, ele_site = _radical_pair_case(n_nuc=2, chi=16)
+    cfg = Config(
+        jobname="tp_relaxed", space="liouville", integrator="arnoldi",
+        conserve_norm=False, thresh_exp=1e-8, max_krylov=10,
+        scan_sweep=False, krylov_relaxed=True, relax_after=1,
+    )
+    ser = TDVPEngine([[c.copy() for c in full]], ham, cfg)
+    ser.right_canonicalize()
+    mesh = make_mesh({"tp": 4})
+    tp = BondTPEngine([[c.copy() for c in full]], ham, cfg, mesh)
+    tp.right_canonicalize()
+    for _ in range(2):
+        ser.propagate(0.2)
+        tp.propagate(0.2)
+    tr_s, tr_t = complex(ser.trace(0)), complex(tp.trace(0))
+    # bf16 matvec passes: identical rounding except cross-device
+    # accumulation order of the f32 partial sums
+    assert abs(tr_s - tr_t) < 5e-6, (tr_s, tr_t)
+    legs = (0,) * ele_site + (2, 2)
+    rdm_s = np.asarray(ser.reduced_density_liouville(legs, 0))
+    rdm_t = np.asarray(tp.reduced_density_liouville(legs, 0))
+    assert np.max(np.abs(rdm_s - rdm_t)) < 5e-6
+
+
 def test_simulator_bond_tp_matches_serial(tmp_path):
     """End-to-end ``Simulator.propagate(bond_tp_devices=...)``: the χ-axis
     parallelism is a driver feature (dat export, checkpoints), not a
