@@ -54,6 +54,27 @@ GS_PREFIX_MIN_N = int(_os.environ.get("PYTDSCF_GS_PREFIX_N", "0"))
 #: overrides (0 disables).
 GS_ROWS_MIN_N = int(_os.environ.get("PYTDSCF_GS_ROWS_N", str(1 << 20)))
 
+#: Planar-bf16 Gram–Schmidt with late-iteration inexactness (round-5
+#: structural lever, VERDICT r4 #3): iterations ≥ ``PYTDSCF_GS_LO_AFTER``
+#: (default 2) run the CGS projections AND the subtraction from a carried
+#: bf16 copy of the Krylov rows (f32-accumulated dots), halving the
+#: row-read traffic that dominates the GS cost at χ=1024 (~3.4 ms/iter,
+#: round-4 free-matvec probe).  The h-column and residual-orthogonality
+#: errors (~4e-3 relative) enter ``exp(T)e₀`` weighted by the late
+#: expansion coefficients — the same van den Eshof/Hochbruck relaxation
+#: budget the single-bf16-pass matvecs (``relax_after``) already spend for
+#: iterations ≥ 1.  Opt-in: ``PYTDSCF_GS_LO=1``.
+GS_LO = _os.environ.get("PYTDSCF_GS_LO", "0") == "1"
+GS_LO_AFTER = int(_os.environ.get("PYTDSCF_GS_LO_AFTER", "2"))
+
+#: Convergence-check thinning (round-5, measured with GS_LO): the
+#: per-iteration ``_expm_taylor_small`` + norm machinery (~5 ms/iter of
+#: tiny sequenced ops at χ=1024) runs only on odd iterations and near the
+#: cap; an unchecked iteration carries the previous coefficient vector.
+#: Worst case one extra (already-paid-for) Krylov iteration when
+#: convergence lands on an even k.  Opt-in: ``PYTDSCF_KRY_CHECK2=1``.
+KRY_CHECK2 = _os.environ.get("PYTDSCF_KRY_CHECK2", "0") == "1"
+
 
 def krylov_expm(
     matvec: Callable[[jax.Array], jax.Array],
@@ -404,6 +425,10 @@ def _arnoldi_loop_rows(
     c0 = jnp.zeros((k_max,), dtype=dtype)
     row_i = jnp.arange(k_max)[:, None]
     col_i = jnp.arange(k_max)[None, :]
+    f32 = jnp.float32
+
+    def to_lo(v):
+        return v.real.astype(jnp.bfloat16), v.imag.astype(jnp.bfloat16)
 
     def set_row(rows, k, w):
         # replace row k+1 (k ∈ [0, k_max−1]); unchanged rows pass through
@@ -414,44 +439,110 @@ def _arnoldi_loop_rows(
         ]
         return jax.lax.switch(k, branches, rows, w)
 
-    def cond(carry):
-        _, _, _, k, _, _, done = carry
-        return ~done
-
-    def body(carry):
-        rows, vk, H, k, c_prev, _, _ = carry
-        w = matvec(k, vk) if indexed else matvec(vk)
+    def gs_exact(rows, rows_lo, w):
         # classical GS: all projections from the same w (⟨r|w⟩ =
         # conj(Σ r·conj(w)) — conjugate the one new vector, not the rows)
         wc = w.conj()
         h = jnp.stack([jnp.sum(r * wc).conj() for r in rows])
         for j in range(k_max + 1):
             w = w - h[j] * rows[j]
+        return h, w
+
+    def gs_lo(rows, rows_lo, w):
+        # same CGS formulas from the carried bf16 row planes (row reads
+        # halved), f32-accumulated dots; errors sit inside the relaxed-
+        # Krylov budget for iterations ≥ GS_LO_AFTER (see GS_LO note)
+        wr = w.real.astype(jnp.bfloat16)
+        wi = w.imag.astype(jnp.bfloat16)
+        hs = []
+        for rr, ri in rows_lo:
+            # ⟨r|w⟩ = Σ (rr − i·ri)(wr + i·wi)
+            re = jnp.einsum(
+                "n,n->", rr, wr, preferred_element_type=f32
+            ) + jnp.einsum("n,n->", ri, wi, preferred_element_type=f32)
+            im = jnp.einsum(
+                "n,n->", rr, wi, preferred_element_type=f32
+            ) - jnp.einsum("n,n->", ri, wr, preferred_element_type=f32)
+            hs.append(jax.lax.complex(re, im))
+        h = jnp.stack(hs).astype(dtype)
+        for j, (rr, ri) in enumerate(rows_lo):
+            rj = jax.lax.complex(
+                rr.astype(f32), ri.astype(f32)
+            ).astype(dtype)
+            w = w - h[j] * rj
+        return h, w
+
+    def cond(carry):
+        return ~carry[-1]
+
+    def body(carry):
+        if GS_LO:
+            rows, rows_lo, vk, H, k, c_prev, _, _ = carry
+        else:
+            rows, vk, H, k, c_prev, _, _ = carry
+            rows_lo = None
+        w = matvec(k, vk) if indexed else matvec(vk)
+        if GS_LO:
+            h, w = jax.lax.cond(
+                k < GS_LO_AFTER, gs_exact, gs_lo, rows, rows_lo, w
+            )
+        else:
+            h, w = gs_exact(rows, rows_lo, w)
         b = jnp.linalg.norm(w).real
         vnext = jnp.where(b > EPS, 1.0, 0.0) * w / jnp.where(
             b > EPS, b, 1.0
         )
         rows = set_row(rows, k, vnext)
+        if GS_LO:
+            rows_lo = set_row(rows_lo, k, to_lo(vnext))
         H = H.at[:, k].set(h)
         H = H.at[k + 1, k].set(b.astype(dtype))
-        mask = ((row_i <= k) & (col_i <= k)).astype(dtype)
-        T = H[:k_max, :k_max] * mask
-        c = _expm_taylor_small(scale * T)[:, 0]
-        err = jnp.linalg.norm(c - c_prev)
+
+        def checked(H, k, c_prev):
+            mask = ((row_i <= k) & (col_i <= k)).astype(dtype)
+            T = H[:k_max, :k_max] * mask
+            c = _expm_taylor_small(scale * T)[:, 0]
+            return c, jnp.linalg.norm(c - c_prev)
+
+        if KRY_CHECK2:
+            # thinning: the expm/convergence machinery runs on odd
+            # iterations, near the cap, and on (near-)breakdown only;
+            # an unchecked iteration carries the previous coefficients
+            do_check = ((k % 2) == 1) | (k + 2 >= k_max) | (b < 1e-6)
+
+            def unchecked(H, k, c_prev):
+                return c_prev, jnp.asarray(jnp.inf, c_prev.real.dtype)
+
+            c, err = jax.lax.cond(
+                do_check, checked, unchecked, H, k, c_prev
+            )
+        else:
+            c, err = checked(H, k, c_prev)
         conv = (k > 0) & (err < thresh)
         breakdown = b < EPS
         capped = k + 1 >= k_max
         done = conv | breakdown | capped
         bad = capped & ~conv & ~breakdown
+        if GS_LO:
+            return rows, rows_lo, vnext, H, k + 1, c, bad, done
         return rows, vnext, H, k + 1, c, bad, done
 
-    carry = (
-        rows0, v0, H0, jnp.asarray(0), c0,
-        jnp.asarray(False), jnp.asarray(False),
-    )
-    rows, _, _, k_fin, c_fin, bad, _ = jax.lax.while_loop(
-        cond, body, carry
-    )
+    if GS_LO:
+        carry = (
+            rows0, tuple(to_lo(r) for r in rows0), v0, H0,
+            jnp.asarray(0), c0, jnp.asarray(False), jnp.asarray(False),
+        )
+        rows, _, _, _, k_fin, c_fin, bad, _ = jax.lax.while_loop(
+            cond, body, carry
+        )
+    else:
+        carry = (
+            rows0, v0, H0, jnp.asarray(0), c0,
+            jnp.asarray(False), jnp.asarray(False),
+        )
+        rows, _, _, k_fin, c_fin, bad, _ = jax.lax.while_loop(
+            cond, body, carry
+        )
     psi_next = zero
     for j in range(k_max):
         psi_next = psi_next + c_fin[j] * rows[j]
