@@ -150,6 +150,46 @@ class Config:
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
+    def with_precision_preset(self, preset: str) -> "Config":
+        """Measured accuracy-vs-throughput rungs for large-χ TPU work.
+
+        Every rung was chip-measured on the χ=1024 radical-pair MPDO
+        north star (round-5 matrix, BASELINE.md); "drift" is the max
+        electron-population deviation from the f32-exact gold anchor
+        after 10 steps:
+
+        * ``"throughput"`` — bf16x3 matvecs + env, single-bf16-pass
+          relaxed Krylov tail from iteration 1, pallas fused matvec.
+          0.962 s/step (79 TFLOP/s), drift 4.4e-5.  The bench default.
+        * ``"balanced"`` — f32-exact iteration-0 matvecs and env
+          transfer; iterations ≥ 1 stay single-bf16-pass.  1.224 s/step
+          (62 TFLOP/s), drift 1.7e-5 — the exact-prefix matvec precision
+          is the dominant drift carrier, so this buys ~2.6× accuracy for
+          +27% wall-clock.
+        * ``"exact"`` — every matmul f32-exact, no relaxation.
+          2.557 s/step (30 TFLOP/s), reference-grade (the gold anchor
+          itself; complex128 CPU runs remain the cross-check venue).
+        """
+        if preset == "throughput":
+            return self.replace(
+                matvec_precision="high", env_precision="high",
+                krylov_relaxed=True, relax_after=1, pallas_matvec=True,
+            )
+        if preset == "balanced":
+            return self.replace(
+                matvec_precision="highest", env_precision="highest",
+                krylov_relaxed=True, relax_after=1, pallas_matvec=True,
+            )
+        if preset == "exact":
+            return self.replace(
+                matvec_precision="highest", env_precision="highest",
+                krylov_relaxed=False, pallas_matvec=False,
+            )
+        raise ValueError(
+            f"unknown precision preset {preset!r}: "
+            "throughput | balanced | exact"
+        )
+
     @property
     def is_relax(self) -> bool:
         return self.relax != "none"

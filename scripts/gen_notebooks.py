@@ -19,8 +19,14 @@ so users get the same teach-by-notebook experience:
   10. adaptive_bond_dimension.ipynb— adaptive-D a1TDVP walkthrough
   11. butadiene_ir_chain.ipynb     — polyene relax→operate→propagate IR
   12. sse_ensemble.ipynb           — batched SSE trajectory ensembles
+  13. poly_sop_h2o.ipynb           — the polynomial-SOP input route
+                                     (reference poly-SOP-H2O trio)
+  14. td_reduced_density_exciton.ipynb — exciton-as-MPS-site TD reduced
+                                     densities (reference Example 11)
+  15. visualize.ipynb              — reduced-density postprocessing +
+                                     phase-coloured Hinton animation
 
-Run:  python scripts/gen_notebooks.py [name-filter ...]   (~25 min CPU)
+Run:  python scripts/gen_notebooks.py [name-filter ...]   (~30 min CPU)
 """
 
 from __future__ import annotations
@@ -1238,6 +1244,311 @@ assert trace[0] > trace[-1] > 0.2
 ]
 
 
+POLY_SOP = [
+    ("md", """
+# The polynomial-SOP input route: H₂O relax → operate → propagate
+
+Counterpart of the reference's `poly-SOP-H2O-{relax,operate,propagate}`
+notebook trio (`/root/reference/docs/notebook/`): the Hamiltonian enters
+as a **sum-of-products polynomial** (`PolynomialHamiltonian` from
+`read_potential_nMR`) rather than a pre-built MPO.  In this package the
+SOP is compiled ONCE into a single fused MPO per electronic-state pair
+(`operators/sop.py:fused_mpo`) — the runtime engine never loops over
+terms — so the SOP route and the MPO route share the same hot path.
+
+This walkthrough inspects the term structure that the reference prints
+(`hamiltonian.onesite` / `hamiltonian.general`), shows the compiled MPO
+bond widths, and runs the full relax → operate(μ) → propagate chain.
+The companion `h2o_ir_spectrum` notebook takes the same model through
+the IR-spectrum FFT.
+"""),
+    ("code", PREAMBLE + """
+import math
+from pytdscf_tpu import units
+from pytdscf_tpu.basis import PrimBas_HO
+from pytdscf_tpu.model import BasInfo, Model
+from pytdscf_tpu.operators.sop import read_potential_nMR
+from pytdscf_tpu.potentials import h2o_k_orig, h2o_mu
+from pytdscf_tpu.simulator import Simulator
+"""),
+    ("md", """
+## The polynomial as a SOP operator
+
+`read_potential_nMR` splits the nMR force-field dictionary into
+**onesite** terms (all operators on one DOF — evaluated as dense
+one-site matrices) and **general** product terms, with the same
+factorial conventions and `cut_off` filter as the reference
+(`hamiltonian_cls.read_potential_nMR`).
+"""),
+    ("code", """
+prim = [[PrimBas_HO(0.0, math.sqrt(h2o_k_orig[(i, i)]) * units.au_in_cm1, 9)
+         for i in (1, 2, 3)]]
+basinfo = BasInfo(prim)
+ham = read_potential_nMR(h2o_k_orig, cut_off=-1.0e-10)
+print(f"onesite terms: {len(ham.onesite[0][0])}")
+for t in ham.onesite[0][0][:5]:
+    print(f"  {t.coef:+.6e} x {t.mode_ops}")
+print(f"general product terms: {len(ham.general[0][0])}")
+for t in ham.general[0][0][:5]:
+    print(f"  {t.coef:+.6e} x {t.mode_ops}")
+"""),
+    ("md", """
+## SOP → one fused MPO
+
+The reference dispatches term-by-term at every site update
+(`mps_cls` 27-case einsum zoo); here the SOP compiles once into a
+balanced dense MPO and the sweep contracts plain (L, W, R) chains.
+"""),
+    ("code", """
+model = Model(basinfo, {"hamiltonian": ham}, bond_dim=9)
+fused = model.hamiltonian.fused_mpo([9, 9, 9])[0][0]
+print("fused MPO core shapes:", [w.shape for w in fused])
+"""),
+    ("md", """
+## Relax → operate → propagate
+
+Improved relaxation (CI diagonalisation) to the zero-point state, a
+variational fit of μ|0⟩, then 100 × 0.2 fs of real-time dynamics.
+"""),
+    ("code", """
+e_gs, _ = Simulator("h2o_sop", model, verbose=0).relax(
+    maxstep=10, stepsize=0.1, improved=True
+)
+print(f"E_gs = {e_gs:.10f} Eh")
+"""),
+    ("code", """
+mu_ham = read_potential_nMR(None, dipole_emu=h2o_mu, efield=(1e-2, 1e-2, 1e-2))
+model_mu = Model(basinfo, {"hamiltonian": mu_ham}, bond_dim=9)
+norm, _ = Simulator("h2o_sop", model_mu, verbose=0).operate(
+    maxstep=10, restart=True, loadfile_ext="_gs"
+)
+print(f"|mu|0>| = {norm:.8f}")
+"""),
+    ("code", """
+e_prop, _ = Simulator("h2o_sop", model, verbose=0).propagate(
+    maxstep=100, stepsize=0.2, restart=True, loadfile_ext="_operate"
+)
+from pytdscf_tpu import spectra
+t_fs, ac = spectra.load_autocorr("h2o_sop_prop/autocorr.dat")
+plt.figure(figsize=(7, 3))
+plt.plot(t_fs, ac.real, label="Re a(t)")
+plt.plot(t_fs, ac.imag, label="Im a(t)")
+plt.xlabel("time [fs]"); plt.ylabel("autocorrelation"); plt.legend()
+plt.title("H$_2$O: $\\\\langle\\\\psi(0)|\\\\psi(t)\\\\rangle$ after dipole kick")
+plt.tight_layout(); plt.show()
+print(f"<H> during propagation = {e_prop:.10f} Eh")
+"""),
+]
+
+TD_RD_EXCITON = [
+    ("md", """
+# Time-dependent reduced densities with the exciton as an MPS site
+
+Counterpart of the reference's `TD_reduced_density_exciton.ipynb`
+(Example 11): the electronic manifold enters the tensor train as its own
+**Exciton site** (one longer MPS) instead of separate per-state MPS — so
+a single wavefunction carries the vibronic dynamics, and reduced
+densities over any site subset stream to netCDF4 during propagation.
+
+Model: 3 HO-DVR modes (1000/2000/3000 cm⁻¹) linearly coupled to a
+2-level exciton site — the LVC model whose final energy and site-RDM
+literals this package pins against the reference test suite
+(`tests/test_exciton_propagate.py`; reference
+`tests/test_exiciton_propagate.py`).
+"""),
+    ("code", PREAMBLE + """
+from pytdscf_tpu.basis import Exciton, HarmonicOscillator as HO
+from pytdscf_tpu.model import Model
+from pytdscf_tpu.operators.hamiltonian import TensorHamiltonian
+from pytdscf_tpu.operators.tensor_op import TensorOperator
+from pytdscf_tpu.simulator import Simulator
+from pytdscf_tpu.units import au_in_cm1, au_in_fs
+from pytdscf_tpu.util import read_nc
+"""),
+    ("md", """
+## Hand-built vibronic MPO
+
+The LVC Hamiltonian (diabatic shift `dE`, inter-state coupling `J`,
+linear vibronic couplings λ, κ) written directly as a 4-core MPO over
+(mode, mode, mode, exciton) — the `TensorOperator` route for operators
+that are already low-rank in MPO form.
+"""),
+    ("code", """
+freqs_cm1 = [1000, 2000, 3000]
+omega2 = [(f / au_in_cm1) ** 2 for f in freqs_cm1]
+nprim = 8
+basis = [HO(nprim, f, units="cm-1") for f in freqs_cm1] + [
+    Exciton(nstate=2, names=["S0", "S1"])
+]
+dE, J, lamb, kappa = 0.01, 0.001, 0.0001, 0.0001
+q1 = [np.array(ho.get_grids()) for ho in basis[:3]]
+q2 = [q * q for q in q1]
+one = [np.ones_like(q) for q in q1]
+a = basis[3].get_annihilation_matrix()
+a_dag = basis[3].get_creation_matrix()
+
+W0 = np.zeros((1, nprim, 3), dtype=np.complex128)
+W1 = np.zeros((3, nprim, 4), dtype=np.complex128)
+W2 = np.zeros((4, nprim, 3), dtype=np.complex128)
+W3 = np.zeros((3, 2, 2, 1), dtype=np.complex128)
+W0[0, :, 0] = one[0]; W0[0, :, 1] = q1[0]
+W0[0, :, 2] = omega2[0] / 2 * q2[0]
+W1[0, :, 0] = J * one[1] + lamb * q1[1]; W1[0, :, 1] = one[1]
+W1[0, :, 2] = kappa * q1[1] + omega2[1] ** 2 / 2 * q2[1]
+W1[0, :, 3] = omega2[1] / 2 * q2[1]
+W1[1, :, 0] = lamb * one[1]; W1[1, :, 2] = kappa * one[1]
+W1[2, :, 2] = one[1]; W1[2, :, 3] = one[1]
+W2[0, :, 2] = one[2]
+W2[1, :, 0] = dE * one[2] + kappa * q1[2] + omega2[2] / 2 * q2[2]
+W2[1, :, 1] = omega2[2] / 2 * q2[2]
+W2[1, :, 2] = lamb * q1[2]
+W2[2, :, 0] = one[2]
+W2[3, :, 1] = one[2]
+W3[0, :, :, 0] = a_dag @ a
+W3[1, :, :, 0] = a @ a_dag
+W3[2, :, :, 0] = a_dag + a
+potential = [[{(0, 1, 2, (3, 3)): TensorOperator(
+    mpo=[W0, W1, W2, W3], legs=(0, 1, 2, 3, 3))}]]
+kin_mpo = []
+for idof in range(3):
+    d2 = basis[idof].get_2nd_derivative_matrix_dvr() / 2
+    if idof == 0:
+        core = np.zeros((1, nprim, nprim, 2), dtype=np.complex128)
+        core[0, :, :, 0] = d2; core[0, :, :, 1] = np.eye(nprim)
+    elif idof == 2:
+        core = np.zeros((2, nprim, nprim, 1), dtype=np.complex128)
+        core[0, :, :, 0] = np.eye(nprim); core[1, :, :, 0] = d2
+    else:
+        core = np.zeros((2, nprim, nprim, 2), dtype=np.complex128)
+        core[0, :, :, 0] = np.eye(nprim); core[1, :, :, 1] = np.eye(nprim)
+        core[0, :, :, 1] = d2
+    kin_mpo.append(core)
+kinetic = [[{((0, 0), (1, 1), (2, 2)): TensorOperator(
+    mpo=kin_mpo, legs=(0, 0, 1, 1, 2, 2))}]]
+ham = TensorHamiltonian(ndof=4, potential=potential, kinetic=kinetic,
+                        backend="numpy")
+"""),
+    ("md", """
+## Propagate with streaming reduced densities
+
+`reduced_density=([(3, 3), (0, 0)], 1)` asks for the exciton-site RDM
+AND the mode-0 DVR density at every step — both land as compound-complex
+variables in `*_prop/reduced_density.nc` (the reference's netCDF4 layout,
+readable by its tools).
+"""),
+    ("code", """
+model = Model(basis, {"hamiltonian": ham}, bond_dim=4)
+model.init_HartreeProduct = [
+    [b.get_unitary()[0].tolist() for b in basis[:3]] + [[0.0, 1.0]]
+]
+ener, _ = Simulator("td_rd_exciton", model, backend="numpy",
+                    verbose=0).propagate(
+    stepsize=0.2, maxstep=120, reduced_density=([(3, 3), (0, 0)], 1),
+)
+print(f"<H> = {ener:.12f} Eh")
+"""),
+    ("code", """
+rd = read_nc("td_rd_exciton_prop/reduced_density.nc", [(3, 3), (0, 0)])
+rho_e = rd[(3, 3)]
+rho_q = rd[(0, 0)]
+t_fs = 0.2 * np.arange(rho_e.shape[0])
+fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 3.5))
+ax1.plot(t_fs, rho_e[:, 1, 1].real, label="S1")
+ax1.plot(t_fs, rho_e[:, 0, 0].real, label="S0")
+ax1.plot(t_fs, np.abs(rho_e[:, 0, 1]), "--", label="|coherence|")
+ax1.set_xlabel("time [fs]"); ax1.set_ylabel("population")
+ax1.legend(); ax1.set_title("exciton-site reduced density")
+grids = np.array(basis[0].get_grids())
+im = ax2.pcolormesh(
+    t_fs, grids, np.real(np.einsum("tii->ti", rho_q)).T,
+    shading="nearest", cmap="magma",
+)
+ax2.set_xlabel("time [fs]"); ax2.set_ylabel("$Q_0$ [mwc a.u.]")
+ax2.set_title("mode-0 DVR density $\\\\rho(Q_0, t)$")
+fig.colorbar(im, ax=ax2)
+plt.tight_layout(); plt.show()
+print("S1 population:", rho_e[0, 1, 1].real, "->", rho_e[-1, 1, 1].real)
+"""),
+]
+
+VISUALIZE = [
+    ("md", """
+# Visualising reduced-density trajectories
+
+Counterpart of the reference's `visualize.ipynb`, which post-processes
+`reduced_density.nc` files from the singlet-fission runs, plus its
+`anim_density_matrix` animator: run a (small) singlet-fission Holstein
+chain, stream the exciton-site reduced density to netCDF4, and render
+
+1. population/coherence time series (the reference's line plots),
+2. the annotated phase-coloured Hinton **animation**
+   (`util.plotting.ComplexMatrixAnimation` — feature parity with the
+   reference's `anim_density_matrix`, plus value annotations).
+"""),
+    ("code", PREAMBLE + """
+from pytdscf_tpu.model import Model
+from pytdscf_tpu.models.holstein import singlet_fission_chain
+from pytdscf_tpu.simulator import Simulator
+from pytdscf_tpu.util import read_nc
+from pytdscf_tpu.util.plotting import ComplexMatrixAnimation
+"""),
+    ("md", """
+## A 13-site singlet-fission chain
+
+4 + 8 Holstein bath modes around a 3-level exciton site (S1 / TT / CS
+ladder) — the same model family as the 184-site benchmark
+(`models/holstein.py`), shrunk to notebook scale.
+"""),
+    ("code", """
+basis, ham = singlet_fission_chain(
+    n_left=4, n_right=8, nlevels=4, nexciton=3)
+exc = 4
+model = Model(basis, {"hamiltonian": ham}, bond_dim=10)
+init = []
+for s, b in enumerate(basis):
+    v = np.zeros(b.nstate); v[0] = 1.0
+    if s == exc:
+        v[:] = 0.0; v[0] = 1.0
+    init.append(v.tolist())
+model.init_HartreeProduct = [init]
+ener, _ = Simulator("sf_visualize", model, verbose=0).propagate(
+    stepsize=0.4, maxstep=100, reduced_density=([(exc, exc)], 2),
+)
+print(f"<H> = {ener:.8f}")
+"""),
+    ("code", """
+rd = read_nc("sf_visualize_prop/reduced_density.nc", [(exc, exc)])
+rho_t = rd[(exc, exc)]
+t_fs = 0.4 * 2 * np.arange(rho_t.shape[0])
+labels = ["S1", "TT", "CS"]
+plt.figure(figsize=(7, 3))
+for k, lab in enumerate(labels):
+    plt.plot(t_fs, rho_t[:, k, k].real, label=lab)
+plt.plot(t_fs, np.abs(rho_t[:, 0, 1]), "--", label="|S1-TT coherence|")
+plt.xlabel("time [fs]"); plt.ylabel("population")
+plt.legend(); plt.title("exciton-site reduced density (13-site chain)")
+plt.tight_layout(); plt.show()
+"""),
+    ("md", """
+## Phase-coloured Hinton animation
+
+Square size = |ρ_ij| (relative to the global max), colour = arg ρ_ij on
+a cyclic map, with per-frame timestamps, state labels, and value
+annotations.  Saved as a GIF and embedded below.
+"""),
+    ("code", """
+anim = ComplexMatrixAnimation(
+    rho_t[::5], times=t_fs[::5], title="exciton RDM",
+    row_names=labels, col_names=labels, add_text=True,
+)
+path = anim.save("sf_rdm.gif", interval_ms=200)
+from IPython.display import Image as _Image, display as _display
+_display(_Image(filename=path))
+print("frames:", rho_t[::5].shape[0])
+"""),
+]
+
+
 def main() -> None:
     os.makedirs(OUTDIR, exist_ok=True)
     jobs = [
@@ -1253,6 +1564,9 @@ def main() -> None:
         ("adaptive_bond_dimension.ipynb", ADAPTIVE),
         ("butadiene_ir_chain.ipynb", BUTADIENE),
         ("sse_ensemble.ipynb", SSE),
+        ("poly_sop_h2o.ipynb", POLY_SOP),
+        ("td_reduced_density_exciton.ipynb", TD_RD_EXCITON),
+        ("visualize.ipynb", VISUALIZE),
     ]
     only = sys.argv[1:] or None
     if REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
