@@ -279,6 +279,37 @@ def _thin_qr_deadsafe(mat: jax.Array) -> tuple[jax.Array, jax.Array]:
     )
 
 
+def enrich_qr(qm: jax.Array, hmat: jax.Array, dD: int, p_proj) -> jax.Array:
+    """a1TDVP rank enrichment of a masked orthonormal frame (traceable).
+
+    ``qm`` (M, k): orthonormal live columns, EXACT-zero dead columns (the
+    masked fixed-shape convention).  Installs up to ``dD`` leading
+    left-singular directions of the projection residual
+    ``(1 − QQ†)·hmat`` — the reference's ``get_superblock_full``
+    enrichment directions (``/root/reference/pytdscf/_mps_cls.py:1985``) —
+    into free (dead) slots, above the ABSOLUTE threshold ``p_proj``.
+    Live columns are never overwritten; the enriched columns carry zero
+    bond weight until a subsequent bond/K evolution populates them.
+    """
+    act = jnp.sum(jnp.abs(qm), axis=0) > 0
+    resid = hmat - qm @ (qm.conj().T @ hmat)
+    u, sv, _ = jnp.linalg.svd(resid, full_matrices=False)
+    absmask = sv > jnp.asarray(p_proj).astype(sv.dtype)
+    u = jnp.where(absmask[None, :], u, 0.0)
+    ncol = min(dD, int(u.shape[1]), int(qm.shape[1]))
+    if ncol <= 0:
+        return qm
+    u = u[:, :ncol]
+    slots = jnp.argsort(act)[:ncol]  # free slots first (stable)
+    free = ~act[slots]
+    cur = qm[:, slots]
+    unew = jnp.where(
+        (free & (jnp.sum(jnp.abs(u), axis=0) > 0))[None, :],
+        u.astype(qm.dtype), cur,
+    )
+    return qm.at[:, slots].set(unew)
+
+
 @jax.jit
 def qr_right_deadsafe(psi: jax.Array) -> tuple[jax.Array, jax.Array]:
     """`qr_right` preserving exactly-zero right-bond channels (SPMD)."""

@@ -662,22 +662,9 @@ def _adaptive_masked_site(
         act = jnp.sum(jnp.abs(sig), axis=1) > 0
         qm = jnp.where(act[None, :], qm, 0.0)
         if dD > 0:
-            resid = hmat - qm @ (qm.conj().T @ hmat)
-            u, sv, _ = jnp.linalg.svd(resid, full_matrices=False)
             # absolute threshold (reference p_proj is absolute); zeroing
             # below-cut columns also kills TPU null-space SVD junk
-            absmask = sv > p_proj.astype(sv.dtype)
-            u = jnp.where(absmask[None, :], u, 0.0)
-            ncol = min(dD, int(u.shape[1]))
-            u = u[:, :ncol]
-            slots = jnp.argsort(act)[:ncol]  # free slots first (stable)
-            free = ~act[slots]
-            cur = qm[:, slots]
-            unew = jnp.where(
-                (free & (jnp.sum(jnp.abs(u), axis=0) > 0))[None, :],
-                u.astype(dtype), cur,
-            )
-            qm = qm.at[:, slots].set(unew)
+            qm = K.enrich_qr(qm, hmat, dD, p_proj)
         if forward:
             a_sites.append(qm.reshape(l, n, -1))
             sigs.append(sig)

@@ -1149,9 +1149,44 @@ def _build_step(
         RbL, dlr = renorm_all(Rb2, lR2, tuple(bRs), WR, tuple(bRs), False)
         ls = tuple(a + b for a, b in zip(lL2, dlr))
         psiL = evolve_sites(Lb2, WL, RbL, tuple(psiL), scale, ls)
+
+        def heff_once(Ls_, Ws_, Rs_, psis_, lsums_):
+            # one H_eff application (enrichment residual source)
+            out = [jnp.zeros_like(p) for p in psis_]
+            for q, ((i_, j_), L_, W_, R_) in enumerate(
+                zip(pairs, Ls_, Ws_, Rs_)
+            ):
+                out[i_] = out[i_] + K.heff_apply(
+                    L_, W_, R_, psis_[j_], "highest"
+                ) * jnp.exp(lsums_[q]).astype(psis_[j_].dtype)
+            return tuple(out)
+
+        # Boundary-bond rank enrichment (adaptive runs): the lv masking
+        # above deliberately annihilates σ-kernel channels (junk-leak
+        # fix), which ALSO forbids the boundary bond from ever growing —
+        # measured as a threshold-INSENSITIVE Δρ ~9e-4 floor with the
+        # boundary rank stuck at its initial value
+        # (scripts/adaptive_spmd_accuracy.py, round 5).  The reference's
+        # joint grows this bond through the same a1TDVP expansion it uses
+        # serially (`get_superblock_full(delta_rank=dD)`,
+        # `_mps_parallel.py:318`); mirror it here: install projection-
+        # residual directions into free slots of BOTH split frames, and
+        # let the two bond evolutions populate them.
+        enrich = adaptive and dD > 0
+        hL = (
+            heff_once(Lb2, WL, RbL, tuple(psiL), ls) if enrich else None
+        )
         aLs, sigs = [], []
         for i in range(nstate):
             a, sg = K.qr_right_deadsafe(psiL[i])
+            if enrich:
+                l_, n_, r_ = psiL[i].shape
+                qm = K.enrich_qr(
+                    a.reshape(l_ * n_, -1),
+                    hL[i].reshape(l_ * n_, r_),
+                    dD, p_proj,
+                )
+                a = qm.reshape(l_, n_, -1)
             aLs.append(a)
             sigs.append(sg)
         LbB, dll = renorm_all(Lb2, lL2, tuple(aLs), WL, tuple(aLs), True)
@@ -1162,9 +1197,22 @@ def _build_step(
         )
         ls2 = tuple(a + b for a, b in zip(dll, lR2))
         psiR = evolve_sites(LbB, WR, Rb2, psiR, scale, ls2)
+        hR = (
+            heff_once(LbB, WR, Rb2, tuple(psiR), ls2) if enrich else None
+        )
         sg2s, bcs = [], []
         for i in range(nstate):
             sg2, bc = K.lq_left_deadsafe(psiR[i])
+            if enrich:
+                l_, n_, r_ = psiR[i].shape
+                qm = K.enrich_qr(
+                    jnp.transpose(bc, (2, 1, 0)).reshape(r_ * n_, -1),
+                    jnp.transpose(hR[i], (2, 1, 0)).reshape(r_ * n_, l_),
+                    dD, p_proj,
+                )
+                bc = jnp.transpose(
+                    qm.reshape(r_, n_, -1), (2, 1, 0)
+                )
             sg2s.append(sg2)
             bcs.append(bc)
         RbN, dlr2 = renorm_all(Rb2, lR2, tuple(bcs), WR, tuple(bcs), False)

@@ -145,9 +145,12 @@ class Simulator:
         dtype_eff = dtype or self._auto_dtype()
         if fetch_stride is None:
             # accelerators pay a ~30 ms host round trip per property
-            # fetch; batch 8 steps into one (results are bit-identical,
+            # fetch; batch 16 steps into one (results are bit-identical,
             # see Config.fetch_stride).  CPU syncs are free — keep 1.
-            fetch_stride = 1 if dtype_eff == "complex128" else 8
+            # 16 beat 8 by ~18% on the H2CO TPU ladder (25.9 vs 31.6
+            # ms/step, round 5); 50 REGRESSED (39.7) — don't raise
+            # further without a same-day A/B.
+            fetch_stride = 1 if dtype_eff == "complex128" else 16
         if dtype_eff == "complex64" and thresh_sil < 1.0e-07:
             # f32 cannot resolve the default 1e-9 Krylov convergence test;
             # leaving it saturates every local update at max_krylov
