@@ -60,7 +60,11 @@ import os
 import jax
 
 # parity-precision (complex128) workflow — pin the CPU backend in-process
-# (the ambient JAX_PLATFORMS may point at a TPU without complex128)
+# (the ambient JAX_PLATFORMS may point at a TPU without complex128).
+# Skip the persistent compile cache: XLA:CPU AOT reloads can emit noisy
+# machine-feature warnings into cell outputs (and SIGILL after a VM
+# migration); these models compile in seconds anyway.
+os.environ["PYTDSCF_NO_COMPILE_CACHE"] = "1"
 jax.config.update("jax_platforms", os.environ.get("PYTDSCF_PLATFORM", "cpu"))
 
 import numpy as np
