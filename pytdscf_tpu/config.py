@@ -166,6 +166,10 @@ class Config:
           (62 TFLOP/s), drift 1.7e-5 — the exact-prefix matvec precision
           is the dominant drift carrier, so this buys ~2.6× accuracy for
           +27% wall-clock.
+        * ``"precise"`` — two f32-exact prefix iterations + f32-exact
+          env; only the Krylov tail (iterations ≥ 2) runs single-pass
+          bf16.  Drift 5.8e-6 — at the gold anchor's own noise scale —
+          for ~1.4 s/step (run J; measured 1.51 under host contention).
         * ``"exact"`` — every matmul f32-exact, no relaxation.
           2.557 s/step (30 TFLOP/s), reference-grade (the gold anchor
           itself; complex128 CPU runs remain the cross-check venue).
@@ -180,6 +184,11 @@ class Config:
                 matvec_precision="highest", env_precision="highest",
                 krylov_relaxed=True, relax_after=1, pallas_matvec=True,
             )
+        if preset == "precise":
+            return self.replace(
+                matvec_precision="highest", env_precision="highest",
+                krylov_relaxed=True, relax_after=2, pallas_matvec=True,
+            )
         if preset == "exact":
             return self.replace(
                 matvec_precision="highest", env_precision="highest",
@@ -187,7 +196,7 @@ class Config:
             )
         raise ValueError(
             f"unknown precision preset {preset!r}: "
-            "throughput | balanced | exact"
+            "throughput | balanced | precise | exact"
         )
 
     @property

@@ -168,13 +168,34 @@ def resident_state_bytes(phys, Ws, chi: int, nshard: int) -> tuple[int, int]:
     return total, per_dev
 
 
-def collective_stats(hlo: str) -> dict[str, int]:
-    """Count collective ops in optimized HLO and their max operand bytes."""
-    out: dict[str, int] = {}
+_DTYPE_BYTES = {"c64": 8, "c128": 16, "f64": 8, "f32": 4, "bf16": 2,
+                "f16": 2, "s32": 4, "u32": 4, "pred": 1, "s8": 1, "u8": 1}
+
+
+def collective_stats(hlo: str) -> dict[str, tuple[int, int]]:
+    """Per collective kind: (op count, total result bytes) from the
+    optimized HLO — the per-device ICI volume of one site step (tuples
+    and -start/-done forms counted once via the -start/plain def line)."""
+    out: dict[str, tuple[int, int]] = {}
     for kind in ("all-gather", "all-reduce", "reduce-scatter",
                  "collective-permute", "all-to-all"):
-        ops = re.findall(rf"\b{kind}(?:-start)?\(", hlo)
-        out[kind] = len(ops)
+        count = 0
+        nbytes = 0
+        # result type(s) precede the op name: "  %x = c64[a,b]{...} kind("
+        # or tuple results "(c64[..], f32[..]) kind("
+        pat = re.compile(
+            rf"=\s*(\(?[a-z0-9\[\],{{}}:\s]*?\)?)\s*{kind}(?:-start)?\(",
+        )
+        for mm in pat.finditer(hlo):
+            count += 1
+            for tm in re.finditer(
+                r"(c64|c128|f64|f32|bf16|f16|s32|u32|pred|s8|u8)\[([0-9,]*)\]",
+                mm.group(1),
+            ):
+                dims = [int(x) for x in tm.group(2).split(",") if x]
+                nbytes += int(np.prod(dims)) * _DTYPE_BYTES[tm.group(1)] \
+                    if dims else _DTYPE_BYTES[tm.group(1)]
+        out[kind] = (count, nbytes)
     return out
 
 
@@ -212,7 +233,10 @@ def check(chi: int, nshard: int, *, last: bool = False,
             f"(total {row['resident_total_gib']:.2f}) -> peak "
             f"{row['peak_gib']:.2f} GiB / 15.75 "
             f"[{'FITS' if row['fits'] else 'OOM'}]  collectives: "
-            + ", ".join(f"{k}={v}" for k, v in coll.items() if v)
+            + ", ".join(
+                f"{k}={c} ({b / 2**20:.0f} MiB)"
+                for k, (c, b) in coll.items() if c
+            )
         )
     return row
 

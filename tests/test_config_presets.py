@@ -14,6 +14,9 @@ def test_presets_fields():
     b = base.with_precision_preset("balanced")
     assert (b.matvec_precision, b.env_precision) == ("highest", "highest")
     assert b.krylov_relaxed and b.relax_after == 1
+    p = base.with_precision_preset("precise")
+    assert p.krylov_relaxed and p.relax_after == 2
+    assert (p.matvec_precision, p.env_precision) == ("highest", "highest")
     e = base.with_precision_preset("exact")
     assert not e.krylov_relaxed and not e.pallas_matvec
     assert (e.matvec_precision, e.env_precision) == ("highest", "highest")
