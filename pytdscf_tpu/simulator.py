@@ -140,6 +140,7 @@ class Simulator:
         dtype: str | None = None,
         fetch_stride: int | None = None,
         splitting: Literal["lt2", "suzuki4", "yoshida4"] = "lt2",
+        precision_preset: str | None = None,
     ) -> tuple[Any, WaveFunction]:
         dt_au = (Δt if Δt is not None else stepsize) / units.au_in_fs
         dtype_eff = dtype or self._auto_dtype()
@@ -181,6 +182,12 @@ class Simulator:
             fetch_stride=fetch_stride,
             splitting=splitting,
         )
+        if precision_preset is not None:
+            # chip-measured accuracy/throughput rungs (round-5 matrix;
+            # Config.with_precision_preset docstring): "throughput" |
+            # "balanced" | "precise" | "exact".  Applied last so it
+            # overrides matvec_precision.
+            config = config.with_precision_preset(precision_preset)
         return self._execute(
             config,
             dt_au,

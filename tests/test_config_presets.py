@@ -27,3 +27,31 @@ def test_presets_fields():
 def test_preset_unknown():
     with pytest.raises(ValueError):
         Config(jobname="p").with_precision_preset("fast")
+
+
+def test_simulator_propagate_precision_preset(tmp_path):
+    """The driver surface: presets reach the engine Config end-to-end
+    (and rejection of unknown names happens before any compute)."""
+    import os
+
+    import numpy as np
+
+    from pytdscf_tpu.basis import Exciton
+    from pytdscf_tpu.model import Model
+    from pytdscf_tpu.operators.hamiltonian import TensorHamiltonian
+    from pytdscf_tpu.operators.tensor_op import TensorOperator
+    from pytdscf_tpu.simulator import Simulator
+
+    os.chdir(tmp_path)
+    h = np.diag([0.0, 0.01]) + 0.002 * (np.ones((2, 2)) - np.eye(2))
+    pot = {(0, 0): TensorOperator(mpo=[h[None, :, :, None]], legs=(0, 0))}
+    ham = TensorHamiltonian(1, [[pot]], kinetic=None)
+    model = Model([Exciton(nstate=2)], {"hamiltonian": ham}, bond_dim=2)
+    model.init_HartreeProduct = [[[1.0, 0.0]]]
+    sim = Simulator("preset_e2e", model, verbose=0)
+    with pytest.raises(ValueError):
+        sim.propagate(maxstep=1, loadfile_ext="",
+                      precision_preset="warpspeed")
+    e, _ = sim.propagate(maxstep=3, loadfile_ext="",
+                         precision_preset="balanced")
+    assert np.isfinite(float(e))
