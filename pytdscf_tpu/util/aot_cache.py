@@ -25,6 +25,14 @@ CPU executables embed host ISA — the device-kind component of the key
 includes the CPU-feature fingerprint on CPU backends for the same reason
 ``enable_compilation_cache`` suffixes its directory (stale AOT code from a
 migrated VM can SIGILL).
+
+The key is CONTENT-true, which makes it conservative: a host VM
+migration can change the traced program itself (host-side model builds —
+e.g. SVD tie-breaking in the MPO compression — are CPU-microarch
+sensitive at the last ulp, shifting lowered constants), producing an
+honest miss rather than a wrong hit.  Measured: same-machine rerun hits
+(184-site warmup 210.8 → 31.2 s); the first run after a VM migration
+recompiled (292.8 s) and re-seeded the cache.
 """
 
 from __future__ import annotations
